@@ -1,0 +1,236 @@
+"""Typed configuration dataclasses.
+
+Mirrors the reference's hyperparameter vocabulary (ref: src/utils/Config.py:3-151
+— BaseConfig/ConfigNAC/ConfigSLP/ConfigDiTTO static classes) as serializable
+dataclasses with no hardcoded cluster paths (ref quirk #12, SURVEY §2.10).
+All paths are injected; ``to_json``/``from_json`` round-trip every config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+def _asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _JsonMixin:
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str):
+        return cls(**json.loads(s))
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig(_JsonMixin):
+    """Shared audio settings (ref: Config.py:8-10)."""
+
+    sample_rate: int = 24_000
+    min_audio_seconds: float = 10.0
+    max_audio_seconds: float = 20.0
+    # EnCodec 24 kHz: hop 320 => 75 latent frames per second.
+    frame_rate: int = 75
+
+    @property
+    def max_latent_frames(self) -> int:
+        return int(self.max_audio_seconds * self.frame_rate)
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig(_JsonMixin):
+    """EnCodec-24kHz-compatible codec (facebook/encodec_24khz geometry).
+
+    SEANet conv encoder/decoder with an LSTM bottleneck and residual VQ.
+    """
+
+    sample_rate: int = 24_000
+    channels: int = 1
+    num_filters: int = 32
+    dimension: int = 128          # latent dim at the bottleneck
+    ratios: tuple = (8, 5, 4, 2)  # upsampling ratios, decoder order
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_base: int = 2
+    num_residual_layers: int = 1
+    lstm_layers: int = 2
+    codebook_size: int = 1024
+    num_quantizers: int = 32      # checkpoint holds 32; 24kHz@1.5kbps uses 2
+    num_codebooks_used: int = 2   # bandwidth 1.5 kbps -> 2 codebooks (ref default)
+    causal: bool = True
+    compress: int = 2
+    trim_right_ratio: float = 1.0
+
+    @property
+    def hop_length(self) -> int:
+        h = 1
+        for r in self.ratios:
+            h *= r
+        return h  # 320
+
+
+@dataclasses.dataclass(frozen=True)
+class NACConfig(_JsonMixin):
+    """Neural Audio Codec trainer config (ref: Config.py:42-67, ConfigNAC)."""
+
+    lambda_factor: float = 0.1         # LM alignment loss weight (Config.py:47)
+    hidden_size: int = 768             # GPT2 n_embd; embedding-head width
+    codebook_size: int = 1024          # EnCodec codebook size
+    max_token_length: int = 1024       # GPT2 n_positions truncation
+    nb_samples: int = 10_000
+    epochs: int = 20
+    learning_rate: float = 1e-4
+    batch_size: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class SLPConfig(_JsonMixin):
+    """Speech Length Predictor (ref: Config.py:69-99, ConfigSLP)."""
+
+    embedding_dim: int = 1472          # ByT5-small d_model
+    num_layers: int = 1
+    num_heads: int = 1
+    nb_classes: int = 11               # duration classes: seconds-10 in [0,10]
+    max_token_length: int = 128
+    nb_samples: int = 10_000
+    epochs: int = 20
+    learning_rate: float = 1e-4
+    batch_size: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig(_JsonMixin):
+    """DiT diffusion transformer (ref: Config.py:102-151, ConfigDiTTO).
+
+    The reference trained hidden 768 / 5 layers / 1 head; the paper base model
+    is 12 layers / 12 heads. ``ref_compat`` toggles the reference's exact
+    quirk semantics (SURVEY §2.10): inverted train-time noise schedule (#1),
+    no self-attention output projection (#2), per-block time embedding unused
+    (#3). With ``ref_compat=False`` the correct formulations are used.
+    """
+
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    time_dim: int = 256
+    text_dim: int = 768
+    mlp_ratio: int = 4
+    diffusion_steps: int = 1000
+    cross_attn_dropout: float = 0.1    # ref DiT.py:90-91
+    max_token_length: int = 1024
+    ref_compat: bool = False
+
+    # training
+    epochs: int = 20
+    learning_rate: float = 1e-4
+    batch_size: int = 8
+    nb_samples: int = 10_000
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_dim % self.num_heads == 0
+        return self.hidden_dim // self.num_heads
+
+
+def ref_trained_dit_config() -> DiTConfig:
+    """The configuration the reference actually trained (Config.py:109-116)."""
+    return DiTConfig(num_layers=5, num_heads=1, ref_compat=True)
+
+
+@dataclasses.dataclass(frozen=True)
+class VocoderConfig(_JsonMixin):
+    """BigVGAN v2 24 kHz 100-band 256x geometry (nvidia/bigvgan_v2_...)."""
+
+    num_mels: int = 100
+    upsample_rates: tuple = (4, 4, 2, 2, 2, 2)
+    upsample_kernel_sizes: tuple = (8, 8, 4, 4, 4, 4)
+    upsample_initial_channel: int = 1536
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    activation: str = "snakebeta"
+    snake_logscale: bool = True
+    use_anti_aliasing: bool = True     # anti-aliased activation (Pallas kernel)
+    # mel analysis (BigVGAN meldataset.get_mel_spectrogram parameters)
+    n_fft: int = 1024
+    hop_size: int = 256
+    win_size: int = 1024
+    sampling_rate: int = 24_000
+    fmin: int = 0
+    fmax: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig(_JsonMixin):
+    """Reverse-diffusion sampling (ref: SpeechGenerator.py:130-164)."""
+
+    num_steps: int = 50                # north-star metric path; ref ran 1000
+    kind: str = "ddpm"                 # "ddpm" | "ddim"
+    ddim_eta: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig(_JsonMixin):
+    """Device mesh for pjit: data-parallel x model(tensor)-parallel."""
+
+    data: int = 1
+    model: int = 1
+    axis_names: tuple = ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig(_JsonMixin):
+    """MLS dataset paths (ref: Config.py:18-24 — here fully injectable)."""
+
+    train_path: str = ""
+    dev_path: str = ""
+    test_path: str = ""
+    tokenizer: str = "gpt2"            # "gpt2" | "byt5"
+    num_workers: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig(_JsonMixin):
+    """End-to-end generation pipeline configuration."""
+
+    audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
+    codec: CodecConfig = dataclasses.field(default_factory=CodecConfig)
+    nac: NACConfig = dataclasses.field(default_factory=NACConfig)
+    slp: SLPConfig = dataclasses.field(default_factory=SLPConfig)
+    dit: DiTConfig = dataclasses.field(default_factory=DiTConfig)
+    vocoder: VocoderConfig = dataclasses.field(default_factory=VocoderConfig)
+    sampler: SamplerConfig = dataclasses.field(default_factory=SamplerConfig)
+
+    def to_json(self) -> str:  # nested dataclasses need custom handling
+        return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str):
+        d = json.loads(s)
+        return cls(
+            audio=AudioConfig(**d["audio"]),
+            codec=CodecConfig(**_tuplify(d["codec"], ("ratios",))),
+            nac=NACConfig(**d["nac"]),
+            slp=SLPConfig(**d["slp"]),
+            dit=DiTConfig(**d["dit"]),
+            vocoder=VocoderConfig(**_tuplify(
+                d["vocoder"],
+                ("upsample_rates", "upsample_kernel_sizes",
+                 "resblock_kernel_sizes", "resblock_dilation_sizes"))),
+            sampler=SamplerConfig(**d["sampler"]),
+        )
+
+
+def _tuplify(d: dict, keys) -> dict:
+    out = dict(d)
+    for k in keys:
+        if k in out and isinstance(out[k], list):
+            out[k] = tuple(tuple(v) if isinstance(v, list) else v for v in out[k])
+    return out

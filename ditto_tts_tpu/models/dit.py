@@ -1,0 +1,230 @@
+"""DiT diffusion transformer (functional, TPU-first).
+
+Re-design of the reference DiT stack (ref: src/components/DiT.py and
+src/model/DiTTO.py) with explicit param pytrees:
+
+  * GlobalAdaLN — time+text conditioned scale/shift applied once before the
+    block stack: ``scale = 1 + time_scale + text_scale``, mean-pooled text,
+    non-affine LN (ref: DiT.py:8-40).
+  * DiTBlock — self-attention with RoPE, cross-attention to text, gated MLP
+    (GELU ⊙ sigmoid gate) (ref: DiT.py:75-157).
+  * DiTTO — learned timestep embedding + SiLU MLP, shared GlobalAdaLN, N
+    blocks, long skip via proj_in/proj_out (ref: DiTTO.py:7-94).
+
+Reference-compat flags (SURVEY §2.10):
+  * quirk #2 — the reference never applies the self-attention output
+    projection (DiT.py:137-139). ``ref_compat=True`` reproduces that;
+    the default applies ``out_proj`` as a correct transformer would.
+    Params for out_proj exist in both modes so checkpoints are portable.
+  * quirk #3 — per-block time embedding is accepted and ignored by the
+    reference block; here time conditioning enters only via GlobalAdaLN in
+    both modes (matching actual reference behavior).
+
+Attention layout is [B, H, S, D] feeding the Pallas TPU kernel in
+``ops.attention``; all matmuls accumulate fp32 on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DiTConfig
+from ..nn.core import (Embedding, LayerNorm, Linear, dense, embed, layer_norm,
+                       normal, xavier_uniform)
+from ..ops.attention import attention
+from ..ops.rope import apply_rope, rope_tables
+
+
+# ---------------------------------------------------------------------------
+# param init
+# ---------------------------------------------------------------------------
+
+def _mha_init(key, embed_dim: int, dtype=jnp.float32):
+    """torch.nn.MultiheadAttention layout: packed in_proj + out_proj.
+
+    torch initializes in_proj_weight with xavier_uniform, biases to 0, and
+    out_proj as a Linear (kaiming) — we mirror that so random-init scale
+    statistics match the reference.
+    """
+    k1, k2 = jax.random.split(key)
+    w_in = xavier_uniform(k1, (3 * embed_dim, embed_dim),
+                          embed_dim, 3 * embed_dim, dtype)
+    out = Linear(embed_dim, embed_dim).init(k2, dtype)
+    return {
+        "in_proj_weight": w_in,
+        "in_proj_bias": jnp.zeros((3 * embed_dim,), dtype),
+        "out_proj": out,
+    }
+
+
+def init_global_adaln(key, cfg: DiTConfig, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    h = cfg.hidden_dim
+    return {
+        "time_mlp": Linear(cfg.time_dim, 2 * h).init(k1, dtype),
+        "text_mlp": Linear(cfg.text_dim, 2 * h).init(k2, dtype),
+    }
+
+
+def init_dit_block(key, cfg: DiTConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 8)
+    h = cfg.hidden_dim
+    return {
+        "norm1": LayerNorm(h).init(ks[0], dtype),
+        "attn": _mha_init(ks[1], h, dtype),
+        "norm2": LayerNorm(h).init(ks[2], dtype),
+        "cross_attn": _mha_init(ks[3], h, dtype),
+        "norm3": LayerNorm(h).init(ks[4], dtype),
+        "mlp_fc1": Linear(h, cfg.mlp_ratio * h).init(ks[5], dtype),
+        "gate": Linear(h, cfg.mlp_ratio * h).init(ks[6], dtype),
+        "mlp_fc2": Linear(cfg.mlp_ratio * h, h).init(ks[7], dtype),
+    }
+
+
+def init_ditto(key, cfg: DiTConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 6 + cfg.num_layers)
+    h = cfg.hidden_dim
+    params = {
+        "t_embedding": Embedding(cfg.diffusion_steps, cfg.time_dim).init(
+            ks[0], dtype),
+        "time_embed": {
+            "fc1": Linear(cfg.time_dim, cfg.time_dim).init(ks[1], dtype),
+            "fc2": Linear(cfg.time_dim, cfg.time_dim).init(ks[2], dtype),
+        },
+        "ada_ln": init_global_adaln(ks[3], cfg, dtype),
+        "proj_in": Linear(h, h).init(ks[4], dtype),
+        "proj_out": Linear(h, h).init(ks[5], dtype),
+        "blocks": [init_dit_block(ks[6 + i], cfg, dtype)
+                   for i in range(cfg.num_layers)],
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def global_adaln(params, x, time_emb, text_emb):
+    """ref: DiT.py:25-40. x: [B,S,H], time_emb: [B,Td], text_emb: [B,St,Xd]."""
+    text_pooled = jnp.mean(text_emb, axis=1)
+    tmod = dense(params["time_mlp"], jax.nn.silu(time_emb))
+    xmod = dense(params["text_mlp"], jax.nn.silu(text_pooled))
+    t_scale, t_shift = jnp.split(tmod, 2, axis=-1)
+    x_scale, x_shift = jnp.split(xmod, 2, axis=-1)
+    scale = 1.0 + t_scale + x_scale
+    shift = t_shift + x_shift
+    x = layer_norm({}, x)  # non-affine (ref: DiT.py:23)
+    return x * scale[:, None, :] + shift[:, None, :]
+
+
+def _split_heads(x, num_heads):
+    b, s, h = x.shape
+    return x.reshape(b, s, num_heads, h // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, nh, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, nh * d)
+
+
+def _qkv(params, x):
+    h = x.shape[-1]
+    w = params["in_proj_weight"]
+    b = params["in_proj_bias"]
+    qkv = dense({"weight": w, "bias": b}, x)
+    return jnp.split(qkv, 3, axis=-1)
+
+
+def _cross_qkv(params, x, mem):
+    h = x.shape[-1]
+    w = params["in_proj_weight"]
+    b = params["in_proj_bias"]
+    q = dense({"weight": w[:h], "bias": b[:h]}, x)
+    k = dense({"weight": w[h:2 * h], "bias": b[h:2 * h]}, mem)
+    v = dense({"weight": w[2 * h:], "bias": b[2 * h:]}, mem)
+    return q, k, v
+
+
+def dit_block(params, cfg: DiTConfig, x, text_emb, rope_cs, *,
+              dropout_key: Optional[jax.Array] = None):
+    """One DiT block (ref: DiT.py:100-157). rope_cs = (cos, sin) tables."""
+    nh = cfg.num_heads
+
+    # ===== self-attention with RoPE =====
+    residual = x
+    xn = layer_norm(params["norm1"], x)
+    q, k, v = _qkv(params["attn"], xn)
+    cos, sin = rope_cs
+    # RoPE applied in [B, S, H, D] layout (ref: DiT.py:118-124)
+    b, s, h = q.shape
+    q = apply_rope(q.reshape(b, s, nh, h // nh), cos, sin)
+    k = apply_rope(k.reshape(b, s, nh, h // nh), cos, sin)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = _split_heads(v, nh)
+    attn_out = _merge_heads(attention(q, k, v))
+    if not cfg.ref_compat:
+        attn_out = dense(params["attn"]["out_proj"], attn_out)
+    x = attn_out + residual  # quirk #2: ref skips out_proj (DiT.py:137-139)
+
+    # ===== cross-attention to text =====
+    residual = x
+    xn = layer_norm(params["norm2"], x)
+    q, k, v = _cross_qkv(params["cross_attn"], xn, text_emb)
+    q = _split_heads(q, nh)
+    k = _split_heads(k, nh)
+    v = _split_heads(v, nh)
+    if dropout_key is not None and cfg.cross_attn_dropout > 0.0:
+        # torch MHA drops attention probabilities; equivalent train-time
+        # regularization applied on the jnp path (Pallas path is inference).
+        probs_dropout = cfg.cross_attn_dropout
+        import math as _math
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / _math.sqrt(q.shape[-1])
+        p = jax.nn.softmax(scores, axis=-1)
+        keep = jax.random.bernoulli(dropout_key, 1.0 - probs_dropout, p.shape)
+        p = jnp.where(keep, p / (1.0 - probs_dropout), 0.0)
+        cross = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+    else:
+        cross = attention(q, k, v)
+    cross = dense(params["cross_attn"]["out_proj"], _merge_heads(cross))
+    x = cross + residual
+
+    # ===== gated MLP =====
+    residual = x
+    xn = layer_norm(params["norm3"], x)
+    up = jax.nn.gelu(dense(params["mlp_fc1"], xn), approximate=False)
+    gate = jax.nn.sigmoid(dense(params["gate"], xn))
+    x = dense(params["mlp_fc2"], up * gate) + residual
+    return x
+
+
+def ditto_forward(params, cfg: DiTConfig, x, text_emb, t, *,
+                  dropout_key: Optional[jax.Array] = None):
+    """Noise prediction (ref: DiTTO.py:66-94).
+
+    x: [B, S, H] noisy latents; text_emb: [B, St, Xd]; t: [B] int32.
+    """
+    temb = embed(params["t_embedding"], t)
+    temb = dense(params["time_embed"]["fc1"], temb)
+    temb = jax.nn.silu(temb)
+    temb = dense(params["time_embed"]["fc2"], temb)
+
+    s = x.shape[1]
+    rope_cs = rope_tables(s, cfg.head_dim, dtype=x.dtype)
+
+    x_skip = dense(params["proj_in"], x)
+    x = global_adaln(params["ada_ln"], x, temb, text_emb)
+
+    keys = (jax.random.split(dropout_key, cfg.num_layers)
+            if dropout_key is not None else [None] * cfg.num_layers)
+    for block, bkey in zip(params["blocks"], keys):
+        x = dit_block(block, cfg, x, text_emb, rope_cs, dropout_key=bkey)
+
+    x = dense(params["proj_out"], x)
+    return x_skip + x

@@ -1,0 +1,69 @@
+"""Attention: Pallas kernel (interpret mode on CPU) vs jnp reference,
+and jnp reference vs torch SDPA."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ditto_tts_tpu.ops.attention import pallas_attention, sdpa_reference
+
+torch = pytest.importorskip("torch")
+
+
+def _rand(shape, seed):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+def test_sdpa_matches_torch():
+    q = _rand((2, 3, 10, 16), 0)
+    k = _rand((2, 3, 14, 16), 1)
+    v = _rand((2, 3, 14, 16), 2)
+    want = torch.nn.functional.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)).numpy()
+    got = sdpa_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_sdpa_causal_matches_torch():
+    q = _rand((1, 2, 12, 8), 3)
+    k = _rand((1, 2, 12, 8), 4)
+    v = _rand((1, 2, 12, 8), 5)
+    want = torch.nn.functional.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+        is_causal=True).numpy()
+    got = sdpa_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                         causal=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [
+    # (B, H, Sq, Sk, D) — including non-tile-aligned sizes
+    (1, 1, 128, 128, 64),
+    (2, 3, 100, 77, 64),
+    (1, 2, 260, 300, 48),
+])
+@pytest.mark.parametrize("causal", [False, True])
+def test_pallas_attention_matches_reference(shape, causal):
+    b, h, sq, sk, d = shape
+    if causal and sq != sk:
+        pytest.skip("causal only for square attention")
+    q = jnp.asarray(_rand((b, h, sq, d), 10))
+    k = jnp.asarray(_rand((b, h, sk, d), 11))
+    v = jnp.asarray(_rand((b, h, sk, d), 12))
+    want = sdpa_reference(q, k, v, causal=causal)
+    got = pallas_attention(q, k, v, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_attention_block_boundary():
+    # Sq smaller than one block
+    q = jnp.asarray(_rand((1, 1, 5, 32), 20))
+    k = jnp.asarray(_rand((1, 1, 9, 32), 21))
+    v = jnp.asarray(_rand((1, 1, 9, 32), 22))
+    want = sdpa_reference(q, k, v)
+    got = pallas_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)

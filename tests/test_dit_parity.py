@@ -1,0 +1,183 @@
+"""End-to-end DiTTO forward parity vs a torch oracle.
+
+The oracle composes stock torch modules (MultiheadAttention, LayerNorm,
+Linear) into the reference architecture's exact semantics — including quirk
+#2 (self-attention output projection skipped) and shared GlobalAdaLN — then
+weights are copied into the JAX param pytree and outputs compared.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from ditto_tts_tpu.core.config import DiTConfig
+from ditto_tts_tpu.models.dit import ditto_forward, init_ditto
+
+# text_dim == hidden_dim as in the reference (both 768, Config.py:109,113);
+# torch MHA cross-attention requires it.
+CFG = DiTConfig(hidden_dim=16, num_layers=2, num_heads=2, time_dim=8,
+                text_dim=16, diffusion_steps=10, cross_attn_dropout=0.1,
+                ref_compat=True)
+
+
+class _OracleBlock(torch.nn.Module):
+    def __init__(self, h, heads):
+        super().__init__()
+        self.heads = heads
+        self.norm1 = torch.nn.LayerNorm(h)
+        self.attn = torch.nn.MultiheadAttention(h, heads)
+        self.norm2 = torch.nn.LayerNorm(h)
+        self.cross = torch.nn.MultiheadAttention(h, heads, dropout=0.1)
+        self.norm3 = torch.nn.LayerNorm(h)
+        self.fc1 = torch.nn.Linear(h, 4 * h)
+        self.gate = torch.nn.Linear(h, 4 * h)
+        self.fc2 = torch.nn.Linear(4 * h, h)
+
+    def forward(self, x, text, cos, sin):
+        b, s, h = x.shape
+        d = h // self.heads
+        res = x
+        xn = self.norm1(x)
+        w, bias = self.attn.in_proj_weight, self.attn.in_proj_bias
+        q = torch.nn.functional.linear(xn, w[:h], bias[:h])
+        k = torch.nn.functional.linear(xn, w[h:2 * h], bias[h:2 * h])
+        v = torch.nn.functional.linear(xn, w[2 * h:], bias[2 * h:])
+        q = q.view(b, s, self.heads, d)
+        k = k.view(b, s, self.heads, d)
+
+        def rope(t):
+            half = d // 2
+            rot = torch.cat([-t[..., half:], t[..., :half]], dim=-1)
+            return t * cos[None, :, None, :] + rot * sin[None, :, None, :]
+
+        q, k = rope(q).permute(0, 2, 1, 3), rope(k).permute(0, 2, 1, 3)
+        v = v.view(b, s, self.heads, d).permute(0, 2, 1, 3)
+        scores = q @ k.transpose(-2, -1) / math.sqrt(d)
+        out = torch.softmax(scores, -1) @ v
+        out = out.permute(0, 2, 1, 3).reshape(b, s, h)
+        x = out + res  # no out_proj (quirk #2)
+
+        res = x
+        xn = self.norm2(x)
+        x = self.cross(xn.transpose(0, 1), text.transpose(0, 1),
+                       text.transpose(0, 1))[0].transpose(0, 1) + res
+
+        res = x
+        xn = self.norm3(x)
+        return self.fc2(torch.nn.functional.gelu(self.fc1(xn))
+                        * torch.sigmoid(self.gate(xn))) + res
+
+
+class _OracleDiTTO(torch.nn.Module):
+    def __init__(self, cfg: DiTConfig):
+        super().__init__()
+        h = cfg.hidden_dim
+        self.cfg = cfg
+        self.t_emb = torch.nn.Embedding(cfg.diffusion_steps, cfg.time_dim)
+        self.tmlp1 = torch.nn.Linear(cfg.time_dim, cfg.time_dim)
+        self.tmlp2 = torch.nn.Linear(cfg.time_dim, cfg.time_dim)
+        self.ada_time = torch.nn.Linear(cfg.time_dim, 2 * h)
+        self.ada_text = torch.nn.Linear(cfg.text_dim, 2 * h)
+        self.ada_norm = torch.nn.LayerNorm(h, elementwise_affine=False)
+        self.proj_in = torch.nn.Linear(h, h)
+        self.proj_out = torch.nn.Linear(h, h)
+        self.blocks = torch.nn.ModuleList(
+            [_OracleBlock(h, cfg.num_heads) for _ in range(cfg.num_layers)])
+
+    def forward(self, x, text, t):
+        cfg = self.cfg
+        temb = self.t_emb(t)
+        temb = self.tmlp2(torch.nn.functional.silu(self.tmlp1(temb)))
+
+        s, d = x.shape[1], cfg.head_dim
+        inv = 1.0 / (10000 ** (torch.arange(0, d, 2).float() / d))
+        fr = torch.arange(s).float()[:, None] * inv[None, :]
+        pos = torch.cat([fr, fr], -1)
+        cos, sin = pos.cos(), pos.sin()
+
+        skip = self.proj_in(x)
+        ts, tsh = self.ada_time(
+            torch.nn.functional.silu(temb)).chunk(2, -1)
+        xs, xsh = self.ada_text(
+            torch.nn.functional.silu(text.mean(1))).chunk(2, -1)
+        x = self.ada_norm(x) * (1 + ts + xs).unsqueeze(1) \
+            + (tsh + xsh).unsqueeze(1)
+        for blk in self.blocks:
+            x = blk(x, text, cos, sin)
+        return skip + self.proj_out(x)
+
+
+def _torch_to_params(oracle: _OracleDiTTO):
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    def lin(m):
+        return {"weight": t2j(m.weight), "bias": t2j(m.bias)}
+
+    def mha(m):
+        return {"in_proj_weight": t2j(m.in_proj_weight),
+                "in_proj_bias": t2j(m.in_proj_bias),
+                "out_proj": lin(m.out_proj)}
+
+    blocks = []
+    for b in oracle.blocks:
+        blocks.append({
+            "norm1": lin(b.norm1), "attn": mha(b.attn),
+            "norm2": lin(b.norm2), "cross_attn": mha(b.cross),
+            "norm3": lin(b.norm3), "mlp_fc1": lin(b.fc1),
+            "gate": lin(b.gate), "mlp_fc2": lin(b.fc2),
+        })
+    return {
+        "t_embedding": {"weight": t2j(oracle.t_emb.weight)},
+        "time_embed": {"fc1": lin(oracle.tmlp1), "fc2": lin(oracle.tmlp2)},
+        "ada_ln": {"time_mlp": lin(oracle.ada_time),
+                   "text_mlp": lin(oracle.ada_text)},
+        "proj_in": lin(oracle.proj_in),
+        "proj_out": lin(oracle.proj_out),
+        "blocks": blocks,
+    }
+
+
+def test_ditto_forward_matches_torch_oracle():
+    torch.manual_seed(0)
+    oracle = _OracleDiTTO(CFG).eval()
+    params = _torch_to_params(oracle)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 6, CFG.hidden_dim)).astype(np.float32)
+    text = rng.standard_normal((2, 5, CFG.text_dim)).astype(np.float32)
+    t = np.array([3, 7], np.int64)
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x), torch.from_numpy(text),
+                      torch.from_numpy(t)).numpy()
+    got = ditto_forward(params, CFG, jnp.asarray(x), jnp.asarray(text),
+                        jnp.asarray(t, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_ditto_init_and_jit():
+    params = init_ditto(jax.random.key(0), CFG)
+    fwd = jax.jit(lambda p, x, te, t: ditto_forward(p, CFG, x, te, t))
+    x = jnp.ones((1, 4, CFG.hidden_dim))
+    te = jnp.ones((1, 3, CFG.text_dim))
+    out = fwd(params, x, te, jnp.array([0], jnp.int32))
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_out_proj_used_when_not_ref_compat():
+    cfg = CFG.replace(ref_compat=False)
+    params = init_ditto(jax.random.key(1), cfg)
+    x = jnp.ones((1, 4, cfg.hidden_dim))
+    te = jnp.ones((1, 3, cfg.text_dim))
+    t = jnp.array([0], jnp.int32)
+    a = ditto_forward(params, cfg, x, te, t)
+    b = ditto_forward(params, CFG, x, te, t)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
