@@ -1,0 +1,116 @@
+"""1-D convolution primitives with torch semantics (NCL layout).
+
+Weight layouts follow torch so HF checkpoints map in directly:
+  conv1d:           [out_ch, in_ch, k]
+  conv_transpose1d: [in_ch, out_ch, k]
+
+Includes the EnCodec-style causal/reflect padding helpers used by the codec
+(HF transformers EncodecConv1d/_get_extra_padding_for_conv1d semantics —
+behavioral spec only, implementation is lax.conv_general_dilated which XLA
+lowers onto the MXU as an implicit GEMM).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def conv1d(x, weight, bias=None, *, stride=1, dilation=1, groups=1):
+    """x: [N, C, L]; weight: [O, I/groups, K]. 'VALID' padding."""
+    y = jax.lax.conv_general_dilated(
+        x, weight,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias[None, :, None]
+    return y
+
+
+def conv_transpose1d(x, weight, bias=None, *, stride=1):
+    """x: [N, C, L]; weight: [I, O, K]. torch output length (L-1)*s + K."""
+    y = jax.lax.conv_transpose(
+        x, weight,
+        strides=(stride,),
+        padding="VALID",
+        # torch convtr weight is [in, out, k]; with transpose_kernel=True the
+        # kernel is read as the gradient of a forward conv, i.e. 'OIH' here.
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        transpose_kernel=True,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias[None, :, None]
+    return y
+
+
+def pad1d(x, paddings, mode="zero"):
+    """Pad last axis by (left, right). Reflect handles short inputs by
+    zero-extending first (EnCodec edge-case semantics)."""
+    left, right = paddings
+    if mode == "reflect":
+        length = x.shape[-1]
+        max_pad = max(left, right)
+        extra = 0
+        if length <= max_pad:
+            extra = max_pad - length + 1
+            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, extra),))
+        y = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((left, right),),
+                    mode="reflect")
+        if extra > 0:
+            end = y.shape[-1] - extra
+            y = y[..., :end]
+        return y
+    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((left, right)))
+
+
+def _extra_padding_for_conv1d(length, kernel_size, stride, padding_total):
+    n_frames = (length - kernel_size + padding_total) / stride + 1
+    ideal = (math.ceil(n_frames) - 1) * stride + (kernel_size - padding_total)
+    return max(ideal - length, 0)
+
+
+def causal_conv1d(x, weight, bias=None, *, stride=1, dilation=1,
+                  causal=True, pad_mode="reflect"):
+    """EnCodec conv with causal/centered auto-padding.
+
+    Matches HF EncodecConv1d.forward: effective kernel = (k-1)*d + 1,
+    padding_total = eff_k - stride, plus extra right padding so the final
+    frame is complete; causal puts all of padding_total on the left.
+    """
+    k = weight.shape[-1]
+    eff_k = (k - 1) * dilation + 1
+    padding_total = eff_k - stride
+    extra = _extra_padding_for_conv1d(x.shape[-1], eff_k, stride,
+                                      padding_total)
+    if causal:
+        x = pad1d(x, (padding_total, extra), mode=pad_mode)
+    else:
+        right = padding_total // 2
+        left = padding_total - right
+        x = pad1d(x, (left, right + extra), mode=pad_mode)
+    return conv1d(x, weight, bias, stride=stride, dilation=dilation)
+
+
+def causal_conv_transpose1d(x, weight, bias=None, *, stride=1, causal=True,
+                            trim_right_ratio=1.0):
+    """EnCodec transposed conv: full output then trim padding_total
+    (causal: ceil(pt * trim_right_ratio) from the right, rest from left)."""
+    k = weight.shape[-1]
+    padding_total = k - stride
+    y = conv_transpose1d(x, weight, bias, stride=stride)
+    if causal:
+        right = math.ceil(padding_total * trim_right_ratio)
+        left = padding_total - right
+    else:
+        right = padding_total // 2
+        left = padding_total - right
+    end = y.shape[-1] - right
+    return y[..., left:end]
