@@ -1,0 +1,99 @@
+"""Tokenizer tests: ByT5 vs HF algorithmic tokenizer; GPT2 BPE mechanics."""
+
+import json
+
+import numpy as np
+import pytest
+
+from ditto_tts_tpu.text.tokenizers import ByT5Tokenizer, GPT2Tokenizer
+
+
+def test_byt5_ids_match_hf():
+    transformers = pytest.importorskip("transformers")
+    hf = transformers.ByT5Tokenizer()
+    tok = ByT5Tokenizer()
+    for text in ["bonjour le monde", "héllo wörld! ça va?", ""]:
+        want = hf(text)["input_ids"]
+        got = tok.encode(text)
+        assert got == want, (text, got, want)
+
+
+def test_byt5_padding_and_mask():
+    tok = ByT5Tokenizer()
+    out = tok(["ab", "abcd"], max_length=8)
+    assert out["input_ids"].shape == (2, 8)
+    # "ab" -> [97+3? no: ord('a')=97 -> 100, 101, eos=1]
+    np.testing.assert_array_equal(out["input_ids"][0],
+                                  [100, 101, 1, 0, 0, 0, 0, 0])
+    np.testing.assert_array_equal(out["attention_mask"][0],
+                                  [1, 1, 1, 0, 0, 0, 0, 0])
+
+
+def test_byt5_truncation():
+    tok = ByT5Tokenizer()
+    out = tok("abcdefgh", max_length=4)
+    assert out["input_ids"].shape == (1, 4)
+    assert out["attention_mask"].sum() == 4
+
+
+def test_byt5_roundtrip():
+    tok = ByT5Tokenizer()
+    text = "c'est magnifique — très bien!"
+    assert tok.decode(tok.encode(text, add_eos=False)) == text
+
+
+@pytest.fixture()
+def tiny_gpt2(tmp_path):
+    # tiny synthetic vocab over byte-unicode space
+    from ditto_tts_tpu.text.tokenizers import _bytes_to_unicode
+    be = _bytes_to_unicode()
+    chars = sorted({be[b] for b in range(256)})
+    vocab = {c: i for i, c in enumerate(chars)}
+    vocab["ab"] = len(vocab)
+    vocab["abc"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    merges = ["#version: 0.2", "a b", "ab c"]
+    vp = tmp_path / "vocab.json"
+    mp = tmp_path / "merges.txt"
+    vp.write_text(json.dumps(vocab))
+    mp.write_text("\n".join(merges))
+    return GPT2Tokenizer(str(vp), str(mp))
+
+
+def test_gpt2_bpe_merges(tiny_gpt2):
+    ids = tiny_gpt2.encode("abc")
+    assert ids == [tiny_gpt2.encoder["abc"]]
+    ids = tiny_gpt2.encode("ab")
+    assert ids == [tiny_gpt2.encoder["ab"]]
+
+
+def test_gpt2_roundtrip(tiny_gpt2):
+    text = "abc xyz"
+    assert tiny_gpt2.decode(tiny_gpt2.encode(text)) == text
+
+
+def test_gpt2_matches_hf_with_same_files(tmp_path):
+    """If HF can build a GPT2TokenizerFast from the same files, ids match."""
+    transformers = pytest.importorskip("transformers")
+    from ditto_tts_tpu.text.tokenizers import _bytes_to_unicode
+    be = _bytes_to_unicode()
+    chars = sorted({be[b] for b in range(256)})
+    vocab = {c: i for i, c in enumerate(chars)}
+    for tok in ["he", "hel", "hell", "hello", "wo", "wor", "worl", "world",
+                "Ġw", "Ġwo", "Ġworld"]:
+        vocab[tok] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    merges = ["h e", "he l", "hel l", "hell o", "w o", "wo r", "wor l",
+              "worl d", "Ġ w", "Ġw o", "Ġwo rld"]
+    vp = tmp_path / "vocab.json"
+    mp = tmp_path / "merges.txt"
+    vp.write_text(json.dumps(vocab), encoding="utf-8")
+    mp.write_text("#version: 0.2\n" + "\n".join(merges), encoding="utf-8")
+
+    try:
+        hf = transformers.GPT2Tokenizer(str(vp), str(mp))
+    except Exception as e:  # pragma: no cover - environment dependent
+        pytest.skip(f"HF slow GPT2Tokenizer unavailable: {e}")
+    mine = GPT2Tokenizer(str(vp), str(mp))
+    for text in ["hello world", "hello", " world"]:
+        assert mine.encode(text) == hf(text)["input_ids"], text
