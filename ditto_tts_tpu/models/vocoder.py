@@ -1,0 +1,178 @@
+"""BigVGAN v2 generator in JAX (24 kHz / 100-band / 256x geometry).
+
+Behavioral spec: NVIDIA BigVGAN's generator as used frozen by the reference
+(ref: src/model/SpeechGenerator.py:47-52 — ``use_cuda_kernel=False``,
+``remove_weight_norm()``): mel [B, 100, T] -> waveform [B, 1, 256*T].
+
+  conv_pre (k=7) -> 6 stages of [ConvTranspose upsample (4,4,2,2,2,2),
+  mean of 3 AMP residual blocks (k = 3,7,11; dilations 1,3,5)] ->
+  anti-aliased SnakeBeta -> conv_post (k=7, no bias) -> clamp [-1, 1]
+  (v2 uses no final tanh).
+
+Every activation is the anti-aliased SnakeBeta (2x kaiser-sinc up, snake,
+2x down) from ops/snake.py; set ``fused=True`` to route it through the
+fused Pallas kernel. Weight-norm from checkpoints is folded at import.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import VocoderConfig
+from ..nn.conv import conv1d, conv_transpose1d, pad1d
+from ..ops.snake import anti_aliased_activation, snake, snake_beta
+
+
+def _get_padding(k: int, d: int) -> int:
+    return (k * d - d) // 2
+
+
+def _act(x, act_params, cfg: VocoderConfig, fused: bool):
+    if cfg.activation == "snakebeta":
+        def fn(v):
+            return snake_beta(v, act_params["alpha"], act_params["beta"],
+                              logscale=cfg.snake_logscale)
+    else:
+        def fn(v):
+            return snake(v, act_params["alpha"], logscale=cfg.snake_logscale)
+    if not cfg.use_anti_aliasing:
+        return fn(x)
+    if fused:
+        from ..ops.snake_pallas import fused_snake_pallas
+        return fused_snake_pallas(
+            x, act_params["alpha"], act_params.get("beta"),
+            logscale=cfg.snake_logscale)
+    return anti_aliased_activation(x, fn)
+
+
+def _conv_same(p, x, *, dilation=1):
+    k = p["weight"].shape[-1]
+    pad = _get_padding(k, dilation)
+    x = pad1d(x, (pad, pad))
+    return conv1d(x, p["weight"], p.get("bias"), dilation=dilation)
+
+
+def _amp_block(p, cfg: VocoderConfig, x, fused: bool):
+    """AMPBlock1: [act, dilated conv, act, conv] x len(dilations), residual."""
+    n = len(p["convs1"])
+    for i in range(n):
+        xt = _act(x, p["act1"][i], cfg, fused)
+        xt = _conv_same(p["convs1"][i], xt, dilation=p["dilations"][i])
+        xt = _act(xt, p["act2"][i], cfg, fused)
+        xt = _conv_same(p["convs2"][i], xt)
+        x = x + xt
+    return x
+
+
+def bigvgan_forward(params, cfg: VocoderConfig, mel, *, fused: bool = False):
+    """mel: [B, num_mels, T] -> waveform [B, 1, T * prod(rates)]."""
+    x = _conv_same(params["conv_pre"], mel)
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    for i, rate in enumerate(cfg.upsample_rates):
+        k = cfg.upsample_kernel_sizes[i]
+        up = params["ups"][i]
+        y = conv_transpose1d(x, up["weight"], up.get("bias"), stride=rate)
+        # torch ConvTranspose1d padding=(k-rate)//2 trims both sides
+        trim = (k - rate) // 2
+        if trim:
+            y = y[..., trim:-trim]
+        acc = None
+        for rb in params["resblocks"][i]:
+            out = _amp_block(rb, cfg, y, fused)
+            acc = out if acc is None else acc + out
+        x = acc / num_kernels
+    x = _act(x, params["act_post"], cfg, fused)
+    x = _conv_same(params["conv_post"], x)
+    return jnp.clip(x, -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# init + BigVGAN checkpoint import
+# ---------------------------------------------------------------------------
+
+def init_bigvgan(key, cfg: VocoderConfig, dtype=jnp.float32) -> Dict:
+    from ..codec.seanet import _conv_init, _convtr_init
+
+    keys = jax.random.split(key, 256)
+    ki = iter(keys)
+    ch = cfg.upsample_initial_channel
+    params: Dict = {"conv_pre": _conv_init(next(ki), ch, cfg.num_mels, 7,
+                                           dtype)}
+    ups, resblocks = [], []
+    for i, rate in enumerate(cfg.upsample_rates):
+        k = cfg.upsample_kernel_sizes[i]
+        ups.append(_convtr_init(next(ki), ch, ch // 2, k, dtype))
+        ch //= 2
+        level = []
+        for rk, dils in zip(cfg.resblock_kernel_sizes,
+                            cfg.resblock_dilation_sizes):
+            blk = {
+                "convs1": [_conv_init(next(ki), ch, ch, rk, dtype)
+                           for _ in dils],
+                "convs2": [_conv_init(next(ki), ch, ch, rk, dtype)
+                           for _ in dils],
+                "act1": [{"alpha": jnp.zeros((ch,), dtype),
+                          "beta": jnp.zeros((ch,), dtype)} for _ in dils],
+                "act2": [{"alpha": jnp.zeros((ch,), dtype),
+                          "beta": jnp.zeros((ch,), dtype)} for _ in dils],
+                "dilations": tuple(dils),
+            }
+            level.append(blk)
+        resblocks.append(level)
+    params["ups"] = ups
+    params["resblocks"] = resblocks
+    params["act_post"] = {"alpha": jnp.zeros((ch,), dtype),
+                          "beta": jnp.zeros((ch,), dtype)}
+    conv_post = _conv_init(next(ki), 1, ch, 7, dtype)
+    del conv_post["bias"]  # v2: use_bias_at_final=False
+    params["conv_post"] = conv_post
+    return params
+
+
+def import_bigvgan_state_dict(sd: Dict[str, np.ndarray],
+                              cfg: VocoderConfig) -> Dict:
+    """Map a BigVGAN generator state_dict (weight-norm folded) to params."""
+    from ..codec.encodec import _fold_weight_norm
+
+    def conv(prefix, bias=True):
+        out = {"weight": jnp.asarray(_fold_weight_norm(sd, prefix))}
+        if bias and f"{prefix}.bias" in sd:
+            out["bias"] = jnp.asarray(np.asarray(sd[f"{prefix}.bias"]))
+        return out
+
+    def act(prefix):
+        out = {"alpha": jnp.asarray(
+            np.asarray(sd[f"{prefix}.alpha"]).reshape(-1))}
+        if f"{prefix}.beta" in sd:
+            out["beta"] = jnp.asarray(
+                np.asarray(sd[f"{prefix}.beta"]).reshape(-1))
+        return out
+
+    nk = len(cfg.resblock_kernel_sizes)
+    params: Dict = {"conv_pre": conv("conv_pre")}
+    ups, resblocks = [], []
+    for i in range(len(cfg.upsample_rates)):
+        ups.append(conv(f"ups.{i}.0"))
+        level = []
+        for j, dils in enumerate(cfg.resblock_dilation_sizes):
+            b = f"resblocks.{i * nk + j}"
+            nd = len(dils)
+            level.append({
+                "convs1": [conv(f"{b}.convs1.{m}") for m in range(nd)],
+                "convs2": [conv(f"{b}.convs2.{m}") for m in range(nd)],
+                "act1": [act(f"{b}.activations.{2 * m}.act")
+                         for m in range(nd)],
+                "act2": [act(f"{b}.activations.{2 * m + 1}.act")
+                         for m in range(nd)],
+                "dilations": tuple(dils),
+            })
+        resblocks.append(level)
+    params["ups"] = ups
+    params["resblocks"] = resblocks
+    params["act_post"] = act("activation_post.act")
+    params["conv_post"] = conv("conv_post")
+    return params

@@ -68,7 +68,7 @@ def pad1d(x, paddings, mode="zero"):
             end = y.shape[-1] - extra
             y = y[..., :end]
         return y
-    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((left, right)))
+    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((left, right),))
 
 
 def _extra_padding_for_conv1d(length, kernel_size, stride, padding_total):

@@ -1,0 +1,89 @@
+"""BigVGAN generator tests: shape contract, importer, determinism."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ditto_tts_tpu.core.config import VocoderConfig
+from ditto_tts_tpu.models.vocoder import (bigvgan_forward,
+                                          import_bigvgan_state_dict,
+                                          init_bigvgan)
+
+TINY = VocoderConfig(
+    num_mels=8,
+    upsample_rates=(2, 2),
+    upsample_kernel_sizes=(4, 4),
+    upsample_initial_channel=16,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),),
+)
+
+
+def test_output_shape_is_rate_product():
+    params = init_bigvgan(jax.random.key(0), TINY)
+    mel = jnp.zeros((2, 8, 10))
+    wav = bigvgan_forward(params, TINY, mel)
+    assert wav.shape == (2, 1, 40)  # 10 * 2 * 2
+
+
+def test_output_clipped_and_finite():
+    params = init_bigvgan(jax.random.key(1), TINY)
+    mel = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((1, 8, 12)).astype(np.float32))
+    wav = np.asarray(bigvgan_forward(params, TINY, mel))
+    assert np.isfinite(wav).all()
+    assert wav.max() <= 1.0 and wav.min() >= -1.0
+
+
+def test_no_antialiasing_path():
+    cfg = TINY.replace(use_anti_aliasing=False)
+    params = init_bigvgan(jax.random.key(2), cfg)
+    wav = bigvgan_forward(params, cfg, jnp.zeros((1, 8, 5)))
+    assert wav.shape == (1, 1, 20)
+
+
+def test_importer_from_torch_naming():
+    torch = pytest.importorskip("torch")
+    # build a state_dict in BigVGAN naming (plain .weight — no weight norm)
+    g = torch.Generator().manual_seed(0)
+
+    def w(*shape):
+        return torch.randn(*shape, generator=g).numpy() * 0.1
+
+    ch0 = TINY.upsample_initial_channel
+    sd = {
+        "conv_pre.weight": w(ch0, TINY.num_mels, 7),
+        "conv_pre.bias": w(ch0),
+    }
+    ch = ch0
+    nk = len(TINY.resblock_kernel_sizes)
+    for i, (rate, k) in enumerate(zip(TINY.upsample_rates,
+                                      TINY.upsample_kernel_sizes)):
+        sd[f"ups.{i}.0.weight"] = w(ch, ch // 2, k)
+        sd[f"ups.{i}.0.bias"] = w(ch // 2)
+        ch //= 2
+        for j, dils in enumerate(TINY.resblock_dilation_sizes):
+            b = f"resblocks.{i * nk + j}"
+            for m, _ in enumerate(dils):
+                rk = TINY.resblock_kernel_sizes[j]
+                sd[f"{b}.convs1.{m}.weight"] = w(ch, ch, rk)
+                sd[f"{b}.convs1.{m}.bias"] = w(ch)
+                sd[f"{b}.convs2.{m}.weight"] = w(ch, ch, rk)
+                sd[f"{b}.convs2.{m}.bias"] = w(ch)
+                sd[f"{b}.activations.{2 * m}.act.alpha"] = w(ch)
+                sd[f"{b}.activations.{2 * m}.act.beta"] = w(ch)
+                sd[f"{b}.activations.{2 * m + 1}.act.alpha"] = w(ch)
+                sd[f"{b}.activations.{2 * m + 1}.act.beta"] = w(ch)
+    sd["activation_post.act.alpha"] = w(ch)
+    sd["activation_post.act.beta"] = w(ch)
+    sd["conv_post.weight"] = w(1, ch, 7)
+
+    params = import_bigvgan_state_dict(sd, TINY)
+    wav = bigvgan_forward(params, TINY, jnp.zeros((1, 8, 6)))
+    assert wav.shape == (1, 1, 24)
+    assert "bias" not in params["conv_post"]
+    np.testing.assert_allclose(
+        np.asarray(params["ups"][0]["weight"]),
+        sd["ups.0.0.weight"], rtol=1e-6)
