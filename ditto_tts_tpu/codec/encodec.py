@@ -147,8 +147,7 @@ def import_hf_state_dict(sd: Dict[str, np.ndarray],
             idx += 1
         idx += 1  # ELU
         stages.append({"resblocks": res,
-                       "down": _conv_from(sd, f"encoder.layers.{idx}"),
-                       "ratio": ratio})
+                       "down": _conv_from(sd, f"encoder.layers.{idx}")})
         idx += 1
     enc["stages"] = stages
     enc["lstm"] = _lstm_from(sd, f"encoder.layers.{idx}", cfg.lstm_layers)
@@ -168,7 +167,7 @@ def import_hf_state_dict(sd: Dict[str, np.ndarray],
         for _ in range(nres):
             res.append(_resblock_from(sd, f"decoder.layers.{idx}"))
             idx += 1
-        stages.append({"up": up, "resblocks": res, "ratio": ratio})
+        stages.append({"up": up, "resblocks": res})
     dec["stages"] = stages
     idx += 1  # ELU
     dec["final_conv"] = _conv_from(sd, f"decoder.layers.{idx}")

@@ -72,7 +72,7 @@ def init_encoder(key, cfg: CodecConfig, dtype=jnp.float32) -> Dict:
         res = [_resblock_init(next(ki), cfg, ch, dtype)
                for _ in range(cfg.num_residual_layers)]
         down = _conv_init(next(ki), ch * 2, ch, ratio * 2, dtype)
-        stages.append({"resblocks": res, "down": down, "ratio": ratio})
+        stages.append({"resblocks": res, "down": down})
         ch *= 2
     params["stages"] = stages
     params["lstm"] = init_lstm(next(ki), ch, ch, cfg.lstm_layers, dtype)
@@ -93,7 +93,7 @@ def init_decoder(key, cfg: CodecConfig, dtype=jnp.float32) -> Dict:
         up = _convtr_init(next(ki), ch, ch // 2, ratio * 2, dtype)
         res = [_resblock_init(next(ki), cfg, ch // 2, dtype)
                for _ in range(cfg.num_residual_layers)]
-        stages.append({"up": up, "resblocks": res, "ratio": ratio})
+        stages.append({"up": up, "resblocks": res})
         ch //= 2
     params["stages"] = stages
     params["final_conv"] = _conv_init(next(ki), cfg.channels, ch,
@@ -124,12 +124,12 @@ def encode(params, cfg: CodecConfig, x):
     """x: [B, channels, L] waveform -> [B, dimension, frames] latents."""
     h = causal_conv1d(x, params["init_conv"]["weight"],
                       params["init_conv"]["bias"], causal=cfg.causal)
-    for stage in params["stages"]:
+    for stage, ratio in zip(params["stages"], reversed(cfg.ratios)):
         for j, rb in enumerate(stage["resblocks"]):
             h = _resblock(rb, cfg, h, cfg.dilation_base ** j)
         h = jax.nn.elu(h)
         h = causal_conv1d(h, stage["down"]["weight"], stage["down"]["bias"],
-                          stride=stage["ratio"], causal=cfg.causal)
+                          stride=ratio, causal=cfg.causal)
     h = _residual_lstm(params["lstm"], h)
     h = jax.nn.elu(h)
     return causal_conv1d(h, params["final_conv"]["weight"],
@@ -141,11 +141,11 @@ def decode(params, cfg: CodecConfig, z):
     h = causal_conv1d(z, params["init_conv"]["weight"],
                       params["init_conv"]["bias"], causal=cfg.causal)
     h = _residual_lstm(params["lstm"], h)
-    for stage in params["stages"]:
+    for stage, ratio in zip(params["stages"], cfg.ratios):
         h = jax.nn.elu(h)
         h = causal_conv_transpose1d(
             h, stage["up"]["weight"], stage["up"]["bias"],
-            stride=stage["ratio"], causal=cfg.causal,
+            stride=ratio, causal=cfg.causal,
             trim_right_ratio=cfg.trim_right_ratio)
         for j, rb in enumerate(stage["resblocks"]):
             h = _resblock(rb, cfg, h, cfg.dilation_base ** j)

@@ -1,0 +1,175 @@
+"""End-to-end TTS inference pipeline (SpeechGenerator equivalent).
+
+Re-design of the reference serving path (ref: src/model/SpeechGenerator.py:
+75-164):
+
+  codec encode -> embedding head -> truncate to 1024 frames -> channel mean
+  -> q_sample at t=T-1 (prompt noising; ref-compat uses the inverted buffer,
+  quirk #1) -> K-step DDPM/DDIM reverse diffusion conditioned on GPT2 wte
+  text embeddings -> repeat to 2 codebook channels -> VectorQuantizer ->
+  codec decode -> mel -> BigVGAN -> waveform.
+
+The whole chain after host-side tokenization is ONE jitted function: the
+sampler is a lax.scan, the vocoder a conv stack — no host round-trips.
+Step count is a parameter (ref ran 1000; the metric path is 50).
+
+The ``use_slp`` path implements the *corrected* SLP semantics (quirk #5):
+argmax duration class -> seconds -> latent frames, realized as a masked
+fixed-shape latent buffer so jit shapes stay static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..codec import encodec as codec_mod
+from ..codec import rvq as rvq_mod
+from ..core.config import PipelineConfig
+from ..diffusion.sampler import ddim_sample, ddpm_sample, respaced_timesteps
+from ..diffusion.schedule import NoiseSchedule, q_sample
+from ..models import dit as dit_mod
+from ..models import slp as slp_mod
+from ..models import vocoder as voc_mod
+from ..text import byt5 as byt5_mod
+from ..text import gpt2 as gpt2_mod
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GeneratorParams:
+    """All parameter pytrees the pipeline needs (frozen at inference)."""
+
+    dit: Dict
+    codec: Dict
+    gpt2: Dict
+    embedding_head: Dict          # NAC trainable: codes -> 768-dim latents
+    vector_quantizer: Dict        # NAC trainable: latent -> code indices
+    vocoder: Dict
+    byt5: Optional[Dict] = None   # only needed for the SLP path
+    slp: Optional[Dict] = None
+
+
+def encode_prompt_latents(params: GeneratorParams, cfg: PipelineConfig,
+                          audio, padding_mask=None):
+    """Waveform -> channel-meaned latents [B, T<=1024, 768]
+    (ref: SpeechGenerator.py:96-98)."""
+    codes = codec_mod.codec_encode(params.codec, cfg.codec, audio,
+                                   padding_mask, bandwidth_kbps=1.5)
+    latents = jnp.take(params.embedding_head["weight"], codes, axis=0)
+    latents = latents[:, :, :cfg.dit.max_token_length]
+    return jnp.mean(latents, axis=1)
+
+
+def latents_to_waveform(params: GeneratorParams, cfg: PipelineConfig,
+                        latents, output_length: int):
+    """Refined latents [B, T, 768] -> BigVGAN waveform [B, L']
+    (ref: SpeechGenerator.py:114-128 — including the double vocoding,
+    quirk #9: codec decode to audio, re-analyze to mel, re-render)."""
+    stacked = jnp.repeat(latents[:, None], 2, axis=1)     # quirk #8 inverse
+    indices = rvq_mod.vq_indices(params.vector_quantizer, stacked)
+    wav = codec_mod.codec_decode(params.codec, cfg.codec, indices,
+                                 output_length=output_length)
+    mel = _mel(cfg, wav[:, 0])
+    out = voc_mod.bigvgan_forward(params.vocoder, cfg.vocoder, mel)
+    return out[:, 0]
+
+
+def _mel(cfg: PipelineConfig, wav):
+    from ..ops.mel import get_mel_spectrogram
+    v = cfg.vocoder
+    return get_mel_spectrogram(
+        wav, sample_rate=v.sampling_rate, n_fft=v.n_fft,
+        num_mels=v.num_mels, hop=v.hop_size, win_size=v.win_size,
+        fmin=v.fmin, fmax=v.fmax)
+
+
+def build_synthesize(cfg: PipelineConfig, *, num_steps: Optional[int] = None,
+                     sampler_kind: Optional[str] = None,
+                     cond_by_audio: bool = False, ref_compat=None):
+    """Returns a jittable fn(params, audio, padding_mask, text_ids, key)."""
+    steps = num_steps if num_steps is not None else cfg.sampler.num_steps
+    kind = sampler_kind if sampler_kind is not None else cfg.sampler.kind
+    compat = cfg.dit.ref_compat if ref_compat is None else ref_compat
+    schedule = NoiseSchedule.cosine(cfg.dit.diffusion_steps)
+    taus = respaced_timesteps(cfg.dit.diffusion_steps, steps)
+
+    def synthesize(params: GeneratorParams, audio, padding_mask, text_ids,
+                   key):
+        latents = encode_prompt_latents(params, cfg, audio, padding_mask)
+        text_ids_t = text_ids[:, :cfg.dit.max_token_length]
+        text_emb = gpt2_mod.embed_tokens(params.gpt2, text_ids_t)
+
+        # prompt noising at t = T-1 (ref: SpeechGenerator.py:106-108)
+        t_full = jnp.full((latents.shape[0],), cfg.dit.diffusion_steps - 1,
+                          jnp.int32)
+        k_noise, k_init, k_samp = jax.random.split(key, 3)
+        noised = q_sample(schedule, latents, t_full,
+                          jax.random.normal(k_noise, latents.shape,
+                                            latents.dtype),
+                          ref_compat=compat)
+
+        x_init = noised if cond_by_audio else jax.random.normal(
+            k_init, latents.shape, latents.dtype)
+
+        def model_fn(x, t):
+            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
+
+        if kind == "ddim":
+            refined = ddim_sample(model_fn, k_samp, x_init, schedule, taus,
+                                  eta=cfg.sampler.ddim_eta)
+        else:
+            refined = ddpm_sample(model_fn, k_samp, x_init, schedule, taus)
+
+        return latents_to_waveform(params, cfg, refined,
+                                   output_length=audio.shape[-1])
+
+    return synthesize
+
+
+def build_synthesize_with_slp(cfg: PipelineConfig, *,
+                              num_steps: Optional[int] = None):
+    """SLP-driven variant: latent length predicted from text+audio
+    (corrected quirk #5 semantics). The latent buffer is sized for the max
+    duration; frames beyond the prediction are masked out of the codec
+    decode by zeroing — shapes stay static under jit."""
+    steps = num_steps if num_steps is not None else cfg.sampler.num_steps
+    schedule = NoiseSchedule.cosine(cfg.dit.diffusion_steps)
+    taus = respaced_timesteps(cfg.dit.diffusion_steps, steps)
+    max_frames = min(cfg.audio.max_latent_frames, cfg.dit.max_token_length)
+
+    def synthesize(params: GeneratorParams, audio, padding_mask, text_ids,
+                   byt5_ids, byt5_mask, key):
+        logits = slp_mod.slp_forward(
+            params.slp, params.byt5, params.codec, cfg.slp,
+            byt5_mod.byt5_small_config(), cfg.codec, byt5_ids, byt5_mask,
+            audio, padding_mask)
+        frames = slp_mod.slp_predict_frames(
+            logits, frame_rate=cfg.audio.frame_rate,
+            min_seconds=int(cfg.audio.min_audio_seconds))   # [B]
+
+        text_emb = gpt2_mod.embed_tokens(
+            params.gpt2, text_ids[:, :cfg.dit.max_token_length])
+
+        b = audio.shape[0]
+        k_init, k_samp = jax.random.split(key)
+        x_init = jax.random.normal(
+            k_init, (b, max_frames, cfg.dit.hidden_dim))
+        frame_idx = jnp.arange(max_frames)[None, :]
+        valid = frame_idx < frames[:, None]
+
+        def model_fn(x, t):
+            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
+
+        refined = ddpm_sample(model_fn, k_samp, x_init, schedule, taus)
+        refined = refined * valid[..., None]
+        out_len = int(max_frames * cfg.codec.hop_length)
+        wav = latents_to_waveform(params, cfg, refined, output_length=out_len)
+        return wav, frames
+
+    return synthesize

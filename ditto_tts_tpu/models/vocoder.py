@@ -56,12 +56,12 @@ def _conv_same(p, x, *, dilation=1):
     return conv1d(x, p["weight"], p.get("bias"), dilation=dilation)
 
 
-def _amp_block(p, cfg: VocoderConfig, x, fused: bool):
+def _amp_block(p, cfg: VocoderConfig, x, dilations, fused: bool):
     """AMPBlock1: [act, dilated conv, act, conv] x len(dilations), residual."""
     n = len(p["convs1"])
     for i in range(n):
         xt = _act(x, p["act1"][i], cfg, fused)
-        xt = _conv_same(p["convs1"][i], xt, dilation=p["dilations"][i])
+        xt = _conv_same(p["convs1"][i], xt, dilation=dilations[i])
         xt = _act(xt, p["act2"][i], cfg, fused)
         xt = _conv_same(p["convs2"][i], xt)
         x = x + xt
@@ -81,8 +81,9 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *, fused: bool = False):
         if trim:
             y = y[..., trim:-trim]
         acc = None
-        for rb in params["resblocks"][i]:
-            out = _amp_block(rb, cfg, y, fused)
+        for j, rb in enumerate(params["resblocks"][i]):
+            out = _amp_block(rb, cfg, y, cfg.resblock_dilation_sizes[j],
+                             fused)
             acc = out if acc is None else acc + out
         x = acc / num_kernels
     x = _act(x, params["act_post"], cfg, fused)
@@ -119,7 +120,6 @@ def init_bigvgan(key, cfg: VocoderConfig, dtype=jnp.float32) -> Dict:
                           "beta": jnp.zeros((ch,), dtype)} for _ in dils],
                 "act2": [{"alpha": jnp.zeros((ch,), dtype),
                           "beta": jnp.zeros((ch,), dtype)} for _ in dils],
-                "dilations": tuple(dils),
             }
             level.append(blk)
         resblocks.append(level)
@@ -168,7 +168,6 @@ def import_bigvgan_state_dict(sd: Dict[str, np.ndarray],
                          for m in range(nd)],
                 "act2": [act(f"{b}.activations.{2 * m + 1}.act")
                          for m in range(nd)],
-                "dilations": tuple(dils),
             })
         resblocks.append(level)
     params["ups"] = ups
