@@ -1,0 +1,99 @@
+"""Train the DiTTO diffusion transformer (parity: ref src/TrainDiTTO.py).
+
+Example:
+  python scripts/train_ditto.py --train-path /data/mls/train \
+      --encodec /weights/encodec_24khz --gpt2 /weights/gpt2 \
+      --nac-checkpoint checkpoints/NAC_final.npz --epochs 20
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from _common import add_common_args, load_codec, load_gpt2
+
+import jax
+
+from ditto_tts_tpu.core.config import DiTConfig, ref_trained_dit_config
+from ditto_tts_tpu.data.mls import MLSDataset, batches, default_buckets
+from ditto_tts_tpu.models import dit as dit_mod
+from ditto_tts_tpu.models import nac as nac_mod
+from ditto_tts_tpu.core.config import NACConfig
+from ditto_tts_tpu.text.tokenizers import GPT2Tokenizer
+from ditto_tts_tpu.train import steps as steps_mod
+from ditto_tts_tpu.train.checkpoint import load_checkpoint
+from ditto_tts_tpu.train.trainer import Trainer
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--gpt2", default=None)
+    p.add_argument("--gpt2-vocab", default=None, help="vocab.json path")
+    p.add_argument("--gpt2-merges", default=None, help="merges.txt path")
+    p.add_argument("--nac-checkpoint", default=None,
+                   help="trained NAC .npz (embedding head + VQ)")
+    p.add_argument("--ref-config", action="store_true",
+                   help="use the reference's trained config "
+                        "(5 layers, 1 head, ref-compat quirks)")
+    p.add_argument("--layers", type=int, default=12)
+    p.add_argument("--heads", type=int, default=12)
+    args = p.parse_args()
+
+    dit_cfg = ref_trained_dit_config() if args.ref_config else DiTConfig(
+        num_layers=args.layers, num_heads=args.heads)
+
+    key = jax.random.key(args.seed)
+    keys = jax.random.split(key, 8)
+    codec_params, codec_cfg = load_codec(args, keys[0])
+    gpt2_params, gpt2_cfg = load_gpt2(args.gpt2, keys[1])
+
+    nac_cfg = NACConfig()
+    if args.nac_checkpoint:
+        nac_trainable, _ = load_checkpoint(args.nac_checkpoint)
+        nac_trainable = nac_trainable.get("params", nac_trainable)
+    else:
+        print("[warn] --nac-checkpoint not given: random embedding head")
+        nac_trainable = nac_mod.init_nac_trainable(keys[2], nac_cfg)
+
+    frozen = {"codec": codec_params, "gpt2": gpt2_params,
+              "embedding_head": nac_trainable["embedding_head"]}
+
+    tokenizer = (GPT2Tokenizer(args.gpt2_vocab, args.gpt2_merges)
+                 if args.gpt2_vocab else None)
+    if tokenizer is None:
+        raise SystemExit("--gpt2-vocab/--gpt2-merges required "
+                         "(GPT2 BPE files; ref MLS.py uses the gpt2 "
+                         "tokenizer for DiTTO training)")
+
+    batch_size = args.batch_size or dit_cfg.batch_size
+    buckets = default_buckets()
+
+    def make_ds(path):
+        return MLSDataset(path, tokenizer, dit_cfg.max_token_length,
+                          nb_samples=args.nb_samples, tokenizer_name="gpt2",
+                          shard_index=jax.process_index(),
+                          num_shards=jax.process_count())
+
+    train_ds = make_ds(args.train_path)
+    val_ds = make_ds(args.dev_path) if args.dev_path else None
+
+    init_state, step_fn, eval_fn = steps_mod.build_ditto_train_step(
+        dit_cfg, codec_cfg, gpt2_cfg, learning_rate=args.learning_rate)
+    state = init_state(dit_mod.init_ditto(keys[3], dit_cfg))
+
+    trainer = Trainer(step_fn, eval_fn)
+    trainer.fit(
+        state, frozen,
+        train_batches=lambda: batches(train_ds, batch_size, buckets=buckets,
+                                      seed=args.seed),
+        val_batches=(lambda: batches(val_ds, batch_size, buckets=buckets,
+                                     shuffle=False)) if val_ds else None,
+        epochs=args.epochs, key=keys[4], model_name="DiTTO",
+        learning_rate=args.learning_rate or dit_cfg.learning_rate,
+        checkpoint_dir=args.checkpoint_dir, checkpoint_interval=1,
+        log_path=args.log_path)
+
+
+if __name__ == "__main__":
+    main()

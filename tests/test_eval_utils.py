@@ -1,0 +1,73 @@
+"""Eval metric + profiling utility tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ditto_tts_tpu.eval.metrics import (cer, cosine_similarity,
+                                        edit_distance, mel_mae, wer)
+from ditto_tts_tpu.eval.throughput import synthesis_throughput, time_fn
+from ditto_tts_tpu.utils.profiling import check_determinism
+
+
+def test_edit_distance():
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance("", "abc") == 3
+    assert edit_distance("abc", "abc") == 0
+    assert edit_distance([1, 2, 3], [1, 3]) == 1
+
+
+def test_cer_wer():
+    refs = ["bonjour le monde", "ca va"]
+    hyps = ["bonjour le monde", "ca vu"]
+    assert cer(refs, hyps) == 1 / len("bonjour le mondeca va")
+    assert wer(refs, hyps) == 1 / 5
+    assert cer(refs, refs) == 0.0
+    assert wer(refs, refs) == 0.0
+
+
+def test_mel_mae_zero_for_identical():
+    wav = 0.1 * np.random.default_rng(0).standard_normal(24000) \
+        .astype(np.float32)
+    assert mel_mae(wav, wav) == 0.0
+    noisy = wav + 0.01 * np.random.default_rng(1).standard_normal(24000) \
+        .astype(np.float32)
+    assert mel_mae(wav, noisy) > 0.0
+
+
+def test_mel_mae_truncates_to_common_length():
+    wav = 0.1 * np.random.default_rng(2).standard_normal(30000) \
+        .astype(np.float32)
+    assert mel_mae(wav[:24000], wav) == 0.0
+
+
+def test_cosine_similarity():
+    a = np.array([1.0, 0.0])
+    assert abs(cosine_similarity(a, a) - 1.0) < 1e-9
+    assert abs(cosine_similarity(a, np.array([0.0, 1.0]))) < 1e-9
+
+
+def test_time_fn_and_throughput():
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones((8, 8))
+    dt = time_fn(f, x, iters=2)
+    assert dt > 0
+    out = synthesis_throughput(f, (x,), batch=4, utterance_seconds=10,
+                               iters=2)
+    assert out["audio_seconds_per_second_per_chip"] > 0
+    assert out["rtf"] > 0
+
+
+def test_check_determinism():
+    f = jax.jit(lambda k: jax.random.normal(k, (4,)))
+    key = jax.random.key(0)
+    assert check_determinism(f, key)
+
+    state = {"n": 0}
+
+    def impure(_):
+        state["n"] += 1
+        return jnp.asarray(float(state["n"]))
+
+    assert not check_determinism(impure, key)
