@@ -138,6 +138,34 @@ def collate(items: List[Dict[str, np.ndarray]],
     }
 
 
+def batches_native(dataset: MLSDataset, batch_size: int, *,
+                   buckets: Sequence[int], workers: int = 4,
+                   shuffle: bool = True, seed: int = 0
+                   ) -> Iterator[Dict[str, np.ndarray]]:
+    """Batches via the C++ prefetching loader (native/dataloader.cc):
+    decode + resample + pad happen on worker threads; text fields are
+    joined here by item index. Requires WAV inputs (use
+    data/processing.py to transcode opus corpora once, offline)."""
+    from .native_loader import NativeLoader
+
+    paths = [e[0] for e in dataset.entries]
+    loader = NativeLoader(paths, sample_rate=dataset.sample_rate,
+                          batch_size=batch_size, buckets=list(buckets),
+                          workers=workers, seed=seed, shuffle=shuffle)
+    try:
+        for b in loader:
+            idxs = b.pop("indices")
+            b["text_ids"] = np.stack(
+                [np.asarray(dataset.entries[i][1], np.int32) for i in idxs])
+            b["text_mask"] = np.stack(
+                [np.asarray(dataset.entries[i][2], np.int32) for i in idxs])
+            secs = b["padding_mask"].sum(axis=1) / dataset.sample_rate
+            b["label"] = np.clip(secs.astype(np.int32) - 10, 0, 10)
+            yield b
+    finally:
+        loader.close()
+
+
 def batches(dataset: MLSDataset, batch_size: int, *,
             buckets: Optional[Sequence[int]] = None,
             shuffle: bool = True, seed: int = 0,
