@@ -54,7 +54,8 @@ def _numpy_params(init_fn, key, cfg):
 
 def main():
     cfg = PipelineConfig(sampler=SamplerConfig(num_steps=STEPS),
-                         dit=DiTConfig(num_layers=12, num_heads=12))
+                         dit=DiTConfig(num_layers=12, num_heads=12,
+                                       scan_blocks=True))
     key = jax.random.key(0)
     t0 = time.time()
     nac_tr = _numpy_params(nac_mod.init_nac_trainable, key, cfg.nac)

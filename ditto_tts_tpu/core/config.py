@@ -127,6 +127,10 @@ class DiTConfig(_JsonMixin):
     cross_attn_dropout: float = 0.1    # ref DiT.py:90-91
     max_token_length: int = 1024
     ref_compat: bool = False
+    # fold the (structurally identical) block stack into one lax.scan:
+    # same numerics, ~num_layers-times smaller XLA graph => much faster
+    # compiles; off by default to keep per-block profiler annotations
+    scan_blocks: bool = False
 
     # training
     epochs: int = 20

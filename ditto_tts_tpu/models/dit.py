@@ -221,10 +221,26 @@ def ditto_forward(params, cfg: DiTConfig, x, text_emb, t, *,
     x_skip = dense(params["proj_in"], x)
     x = global_adaln(params["ada_ln"], x, temb, text_emb)
 
-    keys = (jax.random.split(dropout_key, cfg.num_layers)
-            if dropout_key is not None else [None] * cfg.num_layers)
-    for block, bkey in zip(params["blocks"], keys):
-        x = dit_block(block, cfg, x, text_emb, rope_cs, dropout_key=bkey)
+    if cfg.scan_blocks and cfg.num_layers > 1:
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *params["blocks"])
+        keys = (jax.random.split(dropout_key, cfg.num_layers)
+                if dropout_key is not None else
+                jnp.zeros((cfg.num_layers, 2), jnp.uint32))
+
+        def body(h, inp):
+            blk, bkey = inp
+            bkey = bkey if dropout_key is not None else None
+            return dit_block(blk, cfg, h, text_emb, rope_cs,
+                             dropout_key=bkey), None
+
+        x, _ = jax.lax.scan(body, x, (stacked, keys))
+    else:
+        keys = (jax.random.split(dropout_key, cfg.num_layers)
+                if dropout_key is not None else [None] * cfg.num_layers)
+        for block, bkey in zip(params["blocks"], keys):
+            x = dit_block(block, cfg, x, text_emb, rope_cs,
+                          dropout_key=bkey)
 
     x = dense(params["proj_out"], x)
     return x_skip + x

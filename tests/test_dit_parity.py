@@ -181,3 +181,29 @@ def test_out_proj_used_when_not_ref_compat():
     a = ditto_forward(params, cfg, x, te, t)
     b = ditto_forward(params, CFG, x, te, t)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_scan_blocks_matches_loop():
+    cfg4 = CFG.replace(num_layers=3, ref_compat=False)
+    params = init_ditto(jax.random.key(5), cfg4)
+    x = jnp.asarray(np.random.default_rng(6)
+                    .standard_normal((2, 7, CFG.hidden_dim)).astype(np.float32))
+    te = jnp.asarray(np.random.default_rng(7)
+                     .standard_normal((2, 4, CFG.text_dim)).astype(np.float32))
+    t = jnp.array([1, 8], jnp.int32)
+    a = ditto_forward(params, cfg4, x, te, t)
+    b = ditto_forward(params, cfg4.replace(scan_blocks=True), x, te, t)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_scan_blocks_with_dropout_deterministic():
+    cfg4 = CFG.replace(num_layers=2, ref_compat=False, scan_blocks=True)
+    params = init_ditto(jax.random.key(5), cfg4)
+    x = jnp.ones((1, 5, CFG.hidden_dim))
+    te = jnp.ones((1, 3, CFG.text_dim))
+    t = jnp.array([0], jnp.int32)
+    k = jax.random.key(9)
+    a = ditto_forward(params, cfg4, x, te, t, dropout_key=k)
+    b = ditto_forward(params, cfg4, x, te, t, dropout_key=k)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
