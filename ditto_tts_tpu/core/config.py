@@ -131,6 +131,11 @@ class DiTConfig(_JsonMixin):
     # same numerics, ~num_layers-times smaller XLA graph => much faster
     # compiles; off by default to keep per-block profiler annotations
     scan_blocks: bool = False
+    # "bfloat16" runs block matmuls with bf16 operands (fp32 accumulation
+    # and fp32 LayerNorm/softmax stats); "float32" for golden parity
+    compute_dtype: str = "float32"
+    # rematerialize each block in the backward pass (training memory)
+    remat_blocks: bool = False
 
     # training
     epochs: int = 20

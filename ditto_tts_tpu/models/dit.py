@@ -216,14 +216,32 @@ def ditto_forward(params, cfg: DiTConfig, x, text_emb, t, *,
     temb = dense(params["time_embed"]["fc2"], temb)
 
     s = x.shape[1]
-    rope_cs = rope_tables(s, cfg.head_dim, dtype=x.dtype)
 
     x_skip = dense(params["proj_in"], x)
     x = global_adaln(params["ada_ln"], x, temb, text_emb)
 
+    # mixed precision: bf16 operands inside the block stack (fp32 stats
+    # preserved by layer_norm/softmax); params cast lazily — XLA fuses the
+    # casts into the matmuls
+    cdt = jnp.dtype(cfg.compute_dtype)
+    blocks = params["blocks"]
+    if cdt != x.dtype:
+        cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: a.astype(cdt), t)
+        blocks = cast(blocks)
+        x = x.astype(cdt)
+        text_emb = text_emb.astype(cdt)
+    rope_cs = rope_tables(s, cfg.head_dim, dtype=x.dtype)
+
+    block_fn = dit_block
+    if cfg.remat_blocks:
+        block_fn = jax.checkpoint(
+            dit_block, static_argnums=(1,),
+            policy=jax.checkpoint_policies.nothing_saveable)
+
     if cfg.scan_blocks and cfg.num_layers > 1:
         stacked = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves), *params["blocks"])
+            lambda *leaves: jnp.stack(leaves), *blocks)
         keys = (jax.random.split(dropout_key, cfg.num_layers)
                 if dropout_key is not None else
                 jnp.zeros((cfg.num_layers, 2), jnp.uint32))
@@ -231,16 +249,16 @@ def ditto_forward(params, cfg: DiTConfig, x, text_emb, t, *,
         def body(h, inp):
             blk, bkey = inp
             bkey = bkey if dropout_key is not None else None
-            return dit_block(blk, cfg, h, text_emb, rope_cs,
-                             dropout_key=bkey), None
+            return block_fn(blk, cfg, h, text_emb, rope_cs,
+                            dropout_key=bkey), None
 
         x, _ = jax.lax.scan(body, x, (stacked, keys))
     else:
         keys = (jax.random.split(dropout_key, cfg.num_layers)
                 if dropout_key is not None else [None] * cfg.num_layers)
-        for block, bkey in zip(params["blocks"], keys):
-            x = dit_block(block, cfg, x, text_emb, rope_cs,
-                          dropout_key=bkey)
+        for block, bkey in zip(blocks, keys):
+            x = block_fn(block, cfg, x, text_emb, rope_cs,
+                         dropout_key=bkey)
 
-    x = dense(params["proj_out"], x)
+    x = dense(params["proj_out"], x.astype(x_skip.dtype))
     return x_skip + x

@@ -207,3 +207,42 @@ def test_scan_blocks_with_dropout_deterministic():
     a = ditto_forward(params, cfg4, x, te, t, dropout_key=k)
     b = ditto_forward(params, cfg4, x, te, t, dropout_key=k)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_compute_close_to_fp32():
+    cfg = CFG.replace(ref_compat=False, compute_dtype="bfloat16")
+    params = init_ditto(jax.random.key(11), cfg)
+    x = jnp.asarray(np.random.default_rng(12)
+                    .standard_normal((1, 8, CFG.hidden_dim)).astype(np.float32))
+    te = jnp.asarray(np.random.default_rng(13)
+                     .standard_normal((1, 4, CFG.text_dim)).astype(np.float32))
+    t = jnp.array([2], jnp.int32)
+    lo = ditto_forward(params, cfg, x, te, t)
+    hi = ditto_forward(params, cfg.replace(compute_dtype="float32"),
+                       x, te, t)
+    assert lo.dtype == jnp.float32  # output cast back
+    err = np.abs(np.asarray(lo) - np.asarray(hi))
+    scale = np.abs(np.asarray(hi)).std()
+    assert err.max() < 0.1 * scale + 0.02, (err.max(), scale)
+
+
+def test_remat_identical_forward_and_grads():
+    cfg = CFG.replace(ref_compat=False)
+    cfg_r = cfg.replace(remat_blocks=True)
+    params = init_ditto(jax.random.key(14), cfg)
+    x = jnp.asarray(np.random.default_rng(15)
+                    .standard_normal((1, 6, CFG.hidden_dim)).astype(np.float32))
+    te = jnp.ones((1, 3, CFG.text_dim))
+    t = jnp.array([1], jnp.int32)
+
+    def loss(p, c):
+        return jnp.sum(ditto_forward(p, c, x, te, t) ** 2)
+
+    np.testing.assert_allclose(float(loss(params, cfg)),
+                               float(loss(params, cfg_r)), rtol=1e-6)
+    g_a = jax.grad(lambda p: loss(p, cfg))(params)
+    g_b = jax.grad(lambda p: loss(p, cfg_r))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_a),
+                    jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
