@@ -74,3 +74,21 @@ def test_graft_entry_single():
 def test_graft_entry_multichip(devices8):
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_scaling_bench_runs(devices8, capsys):
+    import runpy
+    import sys
+    argv = sys.argv
+    sys.argv = ["scaling_bench.py", "--tiny", "--devices", "1", "2",
+                "--iters", "1"]
+    try:
+        runpy.run_path("scripts/scaling_bench.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out.strip().split("\n")
+    import json
+    recs = [json.loads(l) for l in out if l.startswith("{")]
+    assert len(recs) == 2
+    assert recs[0]["devices"] == 1 and recs[1]["devices"] == 2
+    assert recs[0]["weak_scaling_efficiency"] == 1.0
