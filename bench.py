@@ -55,7 +55,8 @@ def _numpy_params(init_fn, key, cfg):
 def main():
     cfg = PipelineConfig(sampler=SamplerConfig(num_steps=STEPS),
                          dit=DiTConfig(num_layers=12, num_heads=12,
-                                       scan_blocks=True))
+                                       scan_blocks=True,
+                                       compute_dtype="bfloat16"))
     key = jax.random.key(0)
     t0 = time.time()
     nac_tr = _numpy_params(nac_mod.init_nac_trainable, key, cfg.nac)
@@ -78,16 +79,26 @@ def main():
     mask = jnp.ones((BATCH, length), jnp.int32)
     text = jnp.asarray(rng.integers(0, 50257, (BATCH, 64)))
 
-    fn = jax.jit(build_synthesize(cfg))
+    synth = build_synthesize(cfg)
+
+    # block_until_ready on the tunneled single-chip backend can return
+    # before execution finishes; a scalar readback (sum of the last output
+    # samples) forces real completion, so the timing is honest.
+    def run(params, audio, mask, text, key):
+        wav = synth(params, audio, mask, text, key)
+        return wav, jnp.sum(wav[:, -8:])
+
+    fn = jax.jit(run)
     t0 = time.time()
-    jax.block_until_ready(fn(params, audio, mask, text, jax.random.key(7)))
+    _, chk = fn(params, audio, mask, text, jax.random.key(7))
+    float(chk)
     print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(3):
         t0 = time.time()
-        jax.block_until_ready(fn(params, audio, mask, text,
-                                 jax.random.key(i)))
+        _, chk = fn(params, audio, mask, text, jax.random.key(i))
+        float(chk)
         times.append(time.time() - t0)
     dt = min(times)
     value = BATCH * SECONDS / dt

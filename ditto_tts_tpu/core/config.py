@@ -166,7 +166,15 @@ class VocoderConfig(_JsonMixin):
     resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     activation: str = "snakebeta"
     snake_logscale: bool = True
-    use_anti_aliasing: bool = True     # anti-aliased activation (Pallas kernel)
+    use_anti_aliasing: bool = True     # anti-aliased (2x up/down) activation
+    # "polyphase" (exact, XLA-fused, TPU default) | "composed" (up/act/down
+    # as convs; oracle) | "fused_pallas" (opt-in; hangs the tunneled
+    # single-chip backend, see CLAUDE.md)
+    aa_impl: str = "polyphase"
+    # conv operand dtype (fp32 accumulation + fp32 activations regardless);
+    # the conv stack is compute-bound, bf16 runs it at native MXU rate.
+    # Set "float32" for bit-exact parity work.
+    compute_dtype: str = "bfloat16"
     # mel analysis (BigVGAN meldataset.get_mel_spectrogram parameters)
     n_fft: int = 1024
     hop_size: int = 256

@@ -24,14 +24,15 @@ import jax.numpy as jnp
 
 from ..core.config import VocoderConfig
 from ..nn.conv import conv1d, conv_transpose1d, pad1d
-from ..ops.snake import anti_aliased_activation, snake, snake_beta
+from ..ops.snake import (anti_aliased_activation,
+                         polyphase_anti_aliased_activation, snake, snake_beta)
 
 
 def _get_padding(k: int, d: int) -> int:
     return (k * d - d) // 2
 
 
-def _act(x, act_params, cfg: VocoderConfig, fused: bool):
+def _act(x, act_params, cfg: VocoderConfig, impl: str):
     if cfg.activation == "snakebeta":
         def fn(v):
             return snake_beta(v, act_params["alpha"], act_params["beta"],
@@ -41,41 +42,59 @@ def _act(x, act_params, cfg: VocoderConfig, fused: bool):
             return snake(v, act_params["alpha"], logscale=cfg.snake_logscale)
     if not cfg.use_anti_aliasing:
         return fn(x)
-    if fused:
+    if impl == "fused_pallas":
         from ..ops.snake_pallas import fused_snake_pallas
         return fused_snake_pallas(
             x, act_params["alpha"], act_params.get("beta"),
             logscale=cfg.snake_logscale)
+    if impl == "polyphase":
+        return polyphase_anti_aliased_activation(x, fn)
     return anti_aliased_activation(x, fn)
 
 
-def _conv_same(p, x, *, dilation=1):
+def _conv_same(p, x, *, dilation=1, cdt=None):
     k = p["weight"].shape[-1]
     pad = _get_padding(k, dilation)
     x = pad1d(x, (pad, pad))
-    return conv1d(x, p["weight"], p.get("bias"), dilation=dilation)
+    return conv1d(x, p["weight"], p.get("bias"), dilation=dilation,
+                  compute_dtype=cdt)
 
 
-def _amp_block(p, cfg: VocoderConfig, x, dilations, fused: bool):
+def _amp_block(p, cfg: VocoderConfig, x, dilations, impl: str, cdt):
     """AMPBlock1: [act, dilated conv, act, conv] x len(dilations), residual."""
     n = len(p["convs1"])
     for i in range(n):
-        xt = _act(x, p["act1"][i], cfg, fused)
-        xt = _conv_same(p["convs1"][i], xt, dilation=dilations[i])
-        xt = _act(xt, p["act2"][i], cfg, fused)
-        xt = _conv_same(p["convs2"][i], xt)
+        xt = _act(x, p["act1"][i], cfg, impl)
+        xt = _conv_same(p["convs1"][i], xt, dilation=dilations[i], cdt=cdt)
+        xt = _act(xt, p["act2"][i], cfg, impl)
+        xt = _conv_same(p["convs2"][i], xt, cdt=cdt)
         x = x + xt
     return x
 
 
-def bigvgan_forward(params, cfg: VocoderConfig, mel, *, fused: bool = False):
-    """mel: [B, num_mels, T] -> waveform [B, 1, T * prod(rates)]."""
-    x = _conv_same(params["conv_pre"], mel)
+def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
+                    fused: bool = False, aa_impl: Optional[str] = None):
+    """mel: [B, num_mels, T] -> waveform [B, 1, T * prod(rates)].
+
+    ``aa_impl`` selects the anti-aliased activation implementation
+    ("polyphase" | "composed" | "fused_pallas"); defaults to
+    ``cfg.aa_impl``. ``fused=True`` is a legacy alias for "fused_pallas".
+
+    Conv operands are cast to ``cfg.compute_dtype`` for the MXU (fp32
+    accumulation, fp32 activations/residuals throughout) — the vocoder is
+    compute-bound in its ~6.5 TFLOP of dilated convs, and bf16 operands
+    run them at the MXU's native rate.
+    """
+    impl = aa_impl or ("fused_pallas" if fused else cfg.aa_impl)
+    cdt = (jnp.dtype(cfg.compute_dtype)
+           if cfg.compute_dtype != str(mel.dtype) else None)
+    x = _conv_same(params["conv_pre"], mel, cdt=cdt)
     num_kernels = len(cfg.resblock_kernel_sizes)
     for i, rate in enumerate(cfg.upsample_rates):
         k = cfg.upsample_kernel_sizes[i]
         up = params["ups"][i]
-        y = conv_transpose1d(x, up["weight"], up.get("bias"), stride=rate)
+        y = conv_transpose1d(x, up["weight"], up.get("bias"), stride=rate,
+                             compute_dtype=cdt)
         # torch ConvTranspose1d padding=(k-rate)//2 trims both sides
         trim = (k - rate) // 2
         if trim:
@@ -83,11 +102,11 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *, fused: bool = False):
         acc = None
         for j, rb in enumerate(params["resblocks"][i]):
             out = _amp_block(rb, cfg, y, cfg.resblock_dilation_sizes[j],
-                             fused)
+                             impl, cdt)
             acc = out if acc is None else acc + out
         x = acc / num_kernels
-    x = _act(x, params["act_post"], cfg, fused)
-    x = _conv_same(params["conv_post"], x)
+    x = _act(x, params["act_post"], cfg, impl)
+    x = _conv_same(params["conv_post"], x, cdt=cdt)
     return jnp.clip(x, -1.0, 1.0)
 
 

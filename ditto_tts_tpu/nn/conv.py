@@ -18,8 +18,17 @@ import jax
 import jax.numpy as jnp
 
 
-def conv1d(x, weight, bias=None, *, stride=1, dilation=1, groups=1):
-    """x: [N, C, L]; weight: [O, I/groups, K]. 'VALID' padding."""
+def conv1d(x, weight, bias=None, *, stride=1, dilation=1, groups=1,
+           compute_dtype=None):
+    """x: [N, C, L]; weight: [O, I/groups, K]. 'VALID' padding.
+
+    ``compute_dtype`` (e.g. bfloat16) casts the operands for the MXU while
+    keeping fp32 accumulation and an fp32 result + bias add — the standard
+    TPU mixed-precision convolution."""
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x, weight,
         window_strides=(stride,),
@@ -28,14 +37,18 @@ def conv1d(x, weight, bias=None, *, stride=1, dilation=1, groups=1):
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    ).astype(out_dtype)
     if bias is not None:
         y = y + bias[None, :, None]
     return y
 
 
-def conv_transpose1d(x, weight, bias=None, *, stride=1):
+def conv_transpose1d(x, weight, bias=None, *, stride=1, compute_dtype=None):
     """x: [N, C, L]; weight: [I, O, K]. torch output length (L-1)*s + K."""
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
     y = jax.lax.conv_transpose(
         x, weight,
         strides=(stride,),
@@ -45,7 +58,7 @@ def conv_transpose1d(x, weight, bias=None, *, stride=1):
         dimension_numbers=("NCH", "OIH", "NCH"),
         transpose_kernel=True,
         preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    ).astype(out_dtype)
     if bias is not None:
         y = y + bias[None, :, None]
     return y

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .resample import downsample1d, upsample1d
+from .resample import (_replicate_pad, downsample1d, kaiser_sinc_filter1d,
+                       upsample1d)
 
 _EPS = 1e-9
 
@@ -52,3 +53,56 @@ def anti_aliased_activation(x, act_fn, *, up_ratio: int = 2,
     y = upsample1d(x, up_ratio)
     y = act_fn(y)
     return downsample1d(y, down_ratio)
+
+
+def polyphase_anti_aliased_activation(x, act_fn, *, kernel_size: int = 12):
+    """Exact polyphase re-formulation of ``anti_aliased_activation`` (2x/2x).
+
+    The 2x-rate signal is never materialized: the upsample FIR splits into
+    even/odd 6-tap phases e[u] = y[2u], o[u] = y[2u+1] computed at 1x rate,
+    the pointwise activation applies to each phase, and the anti-aliased
+    decimation recombines them with the corresponding 6-tap phases of the
+    low-pass filter. Matches the composed path (including its replicate-pad
+    edge semantics, where the 2x-rate right edge replicates the *odd* phase
+    and the left edge the *even* phase) to fp32 round-off.
+
+    Everything is static slices + multiply-adds, so XLA fuses it into a few
+    VPU passes — no depthwise convs, no stride-2/lhs-dilated convolutions,
+    and an HLO an order of magnitude smaller than the composed form. This is
+    the default vocoder activation on TPU; the Pallas kernel in
+    ops/snake_pallas.py implements the same decomposition but hangs the
+    tunneled single-chip backend used for CI benches (see CLAUDE.md), so it
+    stays opt-in.
+
+    x: [B, C, T] -> [B, C, T].
+    """
+    if kernel_size != 12:
+        raise ValueError("polyphase offsets are derived for kernel_size=12 "
+                         "(the BigVGAN 2x ratio)")
+    half = kernel_size // 2
+    h = kaiser_sinc_filter1d(0.25, 0.3, kernel_size)
+    pad = half - 1
+    xt = _replicate_pad(x, pad, pad)
+    t = x.shape[-1]
+
+    def taps(weights, base, src, n):
+        acc = float(weights[0]) * src[..., base:base + n]
+        for r in range(1, half):
+            acc = acc + float(weights[r]) * src[..., base + r:base + r + n]
+        return acc
+
+    # upsample phases (x2 transposed-conv gain folded in)
+    e = taps(2.0 * h[0::2], pad - 3, xt, t)
+    o = taps(2.0 * h[1::2], pad - 2, xt, t)
+    se = act_fn(e)
+    so = act_fn(o)
+
+    # decimation: z[t] = sum_r g[2r] o[t+r-3] + g[2r+1] e[t+r-2], with the
+    # 2x-rate replicate edges (left pads = e[0], right pads = o[-1])
+    lval = se[..., :1]
+    rval = so[..., -1:]
+    e_p = jnp.concatenate([jnp.repeat(lval, half - 4, -1), se,
+                           jnp.repeat(rval, half - 3, -1)], axis=-1)
+    o_p = jnp.concatenate([jnp.repeat(lval, half - 3, -1), so,
+                           jnp.repeat(rval, half - 4, -1)], axis=-1)
+    return taps(h[0::2], 0, o_p, t) + taps(h[1::2], 0, e_p, t)

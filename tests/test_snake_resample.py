@@ -6,8 +6,9 @@ import jax.numpy as jnp
 
 from ditto_tts_tpu.ops.resample import (downsample1d, kaiser_sinc_filter1d,
                                         upsample1d)
-from ditto_tts_tpu.ops.snake import (anti_aliased_activation, snake,
-                                     snake_beta)
+from ditto_tts_tpu.ops.snake import (anti_aliased_activation,
+                                     polyphase_anti_aliased_activation,
+                                     snake, snake_beta)
 
 
 def _sine(freq, sr, n, dtype=np.float32):
@@ -77,6 +78,30 @@ def test_anti_aliased_activation_shape_and_smooth_case():
     assert aa.shape == plain.shape
     err = np.abs(aa[..., 40:-40] - plain[..., 40:-40]).max()
     assert err < 2e-2, err
+
+
+def test_polyphase_matches_composed_exactly():
+    """Polyphase == composed (incl. replicate-pad edges) to fp32 round-off,
+    for several shapes and both snake variants."""
+    rng = np.random.default_rng(7)
+    for b, c, t in [(1, 1, 16), (2, 3, 37), (2, 8, 501), (3, 5, 128)]:
+        x = jnp.asarray(rng.standard_normal((b, c, t)), jnp.float32)
+        alpha = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(c), jnp.float32)
+
+        def fn(v):
+            return snake_beta(v, alpha, beta, logscale=True)
+
+        want = np.asarray(anti_aliased_activation(x, fn))
+        got = np.asarray(polyphase_anti_aliased_activation(x, fn))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+        def fn2(v):
+            return snake(v, alpha, logscale=False)
+
+        want = np.asarray(anti_aliased_activation(x, fn2))
+        got = np.asarray(polyphase_anti_aliased_activation(x, fn2))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
 def test_anti_aliasing_suppresses_harmonics_above_nyquist():

@@ -44,6 +44,38 @@ def test_no_antialiasing_path():
     assert wav.shape == (1, 1, 20)
 
 
+def test_polyphase_impl_matches_composed():
+    params = init_bigvgan(jax.random.key(3), TINY)
+    # non-zero snake params so the activation actually bends
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 if a.ndim == 1 else a, params)
+    mel = jnp.asarray(np.random.default_rng(1)
+                      .standard_normal((2, 8, 20)).astype(np.float32))
+    composed = np.asarray(bigvgan_forward(params, TINY, mel,
+                                          aa_impl="composed"))
+    poly = np.asarray(bigvgan_forward(params, TINY, mel,
+                                      aa_impl="polyphase"))
+    np.testing.assert_allclose(poly, composed, rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_conv_compute_quality():
+    """bf16 conv operands (fp32 accum + fp32 activations) must stay within
+    ~0.3% of the fp32 reference — >40 dB SNR on random-init weights."""
+    cfg = TINY.replace(resblock_dilation_sizes=((1, 3, 5),))
+    params = init_bigvgan(jax.random.key(4), cfg)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.05 if a.ndim == 1 else a, params)
+    mel = jnp.asarray(np.random.default_rng(2)
+                      .standard_normal((2, 8, 40)).astype(np.float32))
+    w32 = np.asarray(bigvgan_forward(
+        params, cfg.replace(compute_dtype="float32"), mel))
+    w16 = np.asarray(bigvgan_forward(
+        params, cfg.replace(compute_dtype="bfloat16"), mel))
+    err = ((w16 - w32) ** 2).mean()
+    snr = 10 * np.log10((w32 ** 2).mean() / max(err, 1e-20))
+    assert snr > 40.0, snr
+
+
 def test_importer_from_torch_naming():
     torch = pytest.importorskip("torch")
     # build a state_dict in BigVGAN naming (plain .weight — no weight norm)
