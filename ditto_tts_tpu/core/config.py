@@ -171,10 +171,14 @@ class VocoderConfig(_JsonMixin):
     # as convs; oracle) | "fused_pallas" (opt-in; hangs the tunneled
     # single-chip backend, see CLAUDE.md)
     aa_impl: str = "polyphase"
-    # conv operand dtype (fp32 accumulation + fp32 activations regardless);
-    # the conv stack is compute-bound, bf16 runs it at native MXU rate.
-    # Set "float32" for bit-exact parity work.
+    # conv operand dtype (fp32 accumulation regardless); the conv stack is
+    # compute-bound, bf16 runs it at native MXU rate. Set "float32" for
+    # bit-exact parity work.
     compute_dtype: str = "bfloat16"
+    # dtype the signal is CARRIED in between ops (activations, residuals,
+    # FIR phases). bf16 halves the HBM traffic of the anti-aliased
+    # activation chains, which are bandwidth-bound; "float32" for parity.
+    carry_dtype: str = "bfloat16"
     # mel analysis (BigVGAN meldataset.get_mel_spectrogram parameters)
     n_fft: int = 1024
     hop_size: int = 256

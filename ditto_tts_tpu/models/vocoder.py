@@ -81,14 +81,16 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
     ``cfg.aa_impl``. ``fused=True`` is a legacy alias for "fused_pallas".
 
     Conv operands are cast to ``cfg.compute_dtype`` for the MXU (fp32
-    accumulation, fp32 activations/residuals throughout) — the vocoder is
-    compute-bound in its ~6.5 TFLOP of dilated convs, and bf16 operands
-    run them at the MXU's native rate.
+    accumulation regardless); the signal is carried between ops in
+    ``cfg.carry_dtype``. The dilated convs are compute-bound (bf16 runs
+    them at the MXU's native rate) while the anti-aliased activation
+    chains are HBM-bandwidth-bound (bf16 halves their traffic).
     """
     impl = aa_impl or ("fused_pallas" if fused else cfg.aa_impl)
     cdt = (jnp.dtype(cfg.compute_dtype)
            if cfg.compute_dtype != str(mel.dtype) else None)
-    x = _conv_same(params["conv_pre"], mel, cdt=cdt)
+    x = mel.astype(cfg.carry_dtype)
+    x = _conv_same(params["conv_pre"], x, cdt=cdt)
     num_kernels = len(cfg.resblock_kernel_sizes)
     for i, rate in enumerate(cfg.upsample_rates):
         k = cfg.upsample_kernel_sizes[i]
@@ -107,7 +109,7 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
         x = acc / num_kernels
     x = _act(x, params["act_post"], cfg, impl)
     x = _conv_same(params["conv_post"], x, cdt=cdt)
-    return jnp.clip(x, -1.0, 1.0)
+    return jnp.clip(x.astype(jnp.float32), -1.0, 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -70,7 +70,7 @@ def upsample1d(x, ratio: int = 2, kernel_size=None):
     c = x.shape[1]
     # grouped transposed conv == conv of the zero-stuffed input (lhs_dilation)
     # with the flipped kernel and full padding
-    w = jnp.broadcast_to(filt[::-1][None, None, :], (c, 1, k))
+    w = jnp.broadcast_to(filt[::-1][None, None, :], (c, 1, k)).astype(x.dtype)
     x = _replicate_pad(x, pad, pad)
     y = ratio * jax.lax.conv_general_dilated(
         x, w, window_strides=(1,), padding=((k - 1, k - 1),),
@@ -90,7 +90,8 @@ def lowpass1d(x, cutoff: float, half_width: float, *, stride: int = 1,
     pad_left = kernel_size // 2 - int(even)
     pad_right = kernel_size // 2
     c = x.shape[1]
-    w = jnp.broadcast_to(filt[None, None, :], (c, 1, kernel_size))
+    w = jnp.broadcast_to(filt[None, None, :],
+                         (c, 1, kernel_size)).astype(x.dtype)
     x = _replicate_pad(x, pad_left, pad_right)
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding="VALID",

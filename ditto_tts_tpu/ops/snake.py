@@ -27,24 +27,28 @@ _EPS = 1e-9
 
 
 def snake(x, alpha, *, logscale: bool = True):
-    """x: [B, C, T]; alpha: [C]."""
+    """x: [B, C, T]; alpha: [C]. Computes in x.dtype (exp/recip in fp32)."""
     a = jnp.exp(alpha) if logscale else alpha
-    a = a[None, :, None]
+    inv_a = (1.0 / (a + _EPS)).astype(x.dtype)[None, :, None]
+    a = a.astype(x.dtype)[None, :, None]
     s = jnp.sin(a * x)
-    return x + (1.0 / (a + _EPS)) * s * s
+    return x + inv_a * s * s
 
 
 def snake_beta(x, alpha, beta, *, logscale: bool = True):
-    """x: [B, C, T]; alpha, beta: [C] (BigVGAN SnakeBeta)."""
+    """x: [B, C, T]; alpha, beta: [C] (BigVGAN SnakeBeta).
+
+    exp/reciprocal run in the param dtype (fp32); the per-element work is
+    carried in x.dtype so bf16 signals stay bf16 (no silent promotion)."""
     if logscale:
         a = jnp.exp(alpha)
         b = jnp.exp(beta)
     else:
         a, b = alpha, beta
-    a = a[None, :, None]
-    b = b[None, :, None]
+    inv_b = (1.0 / (b + _EPS)).astype(x.dtype)[None, :, None]
+    a = a.astype(x.dtype)[None, :, None]
     s = jnp.sin(a * x)
-    return x + (1.0 / (b + _EPS)) * s * s
+    return x + inv_b * s * s
 
 
 def anti_aliased_activation(x, act_fn, *, up_ratio: int = 2,
