@@ -87,8 +87,10 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
     chains are HBM-bandwidth-bound (bf16 halves their traffic).
     """
     impl = aa_impl or ("fused_pallas" if fused else cfg.aa_impl)
-    cdt = (jnp.dtype(cfg.compute_dtype)
-           if cfg.compute_dtype != str(mel.dtype) else None)
+    # Always pass an explicit compute dtype: the signal is carried in
+    # cfg.carry_dtype while weights stay fp32, so the conv primitives must
+    # cast BOTH operands (a no-op cast when dtypes already match).
+    cdt = jnp.dtype(cfg.compute_dtype)
     x = mel.astype(cfg.carry_dtype)
     x = _conv_same(params["conv_pre"], x, cdt=cdt)
     num_kernels = len(cfg.resblock_kernel_sizes)

@@ -26,6 +26,8 @@ def conv1d(x, weight, bias=None, *, stride=1, dilation=1, groups=1,
     keeping fp32 accumulation and an fp32 result + bias add — the standard
     TPU mixed-precision convolution."""
     out_dtype = x.dtype
+    if compute_dtype is None and x.dtype != weight.dtype:
+        compute_dtype = jnp.promote_types(x.dtype, weight.dtype)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         weight = weight.astype(compute_dtype)
@@ -46,6 +48,8 @@ def conv1d(x, weight, bias=None, *, stride=1, dilation=1, groups=1,
 def conv_transpose1d(x, weight, bias=None, *, stride=1, compute_dtype=None):
     """x: [N, C, L]; weight: [I, O, K]. torch output length (L-1)*s + K."""
     out_dtype = x.dtype
+    if compute_dtype is None and x.dtype != weight.dtype:
+        compute_dtype = jnp.promote_types(x.dtype, weight.dtype)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         weight = weight.astype(compute_dtype)

@@ -76,6 +76,20 @@ def test_bf16_conv_compute_quality():
     assert snr > 40.0, snr
 
 
+@pytest.mark.parametrize("carry", ["float32", "bfloat16"])
+@pytest.mark.parametrize("compute", ["float32", "bfloat16"])
+def test_dtype_config_matrix(carry, compute):
+    """Every (carry_dtype, compute_dtype) combination must run; the fp32/fp32
+    corner is the documented bit-exact parity configuration."""
+    cfg = TINY.replace(carry_dtype=carry, compute_dtype=compute)
+    params = init_bigvgan(jax.random.key(7), cfg)
+    mel = jnp.asarray(np.random.default_rng(5)
+                      .standard_normal((1, 8, 16)).astype(np.float32))
+    wav = np.asarray(bigvgan_forward(params, cfg, mel))
+    assert wav.shape == (1, 1, 64)
+    assert np.isfinite(wav).all()
+
+
 def test_importer_from_torch_naming():
     torch = pytest.importorskip("torch")
     # build a state_dict in BigVGAN naming (plain .weight — no weight norm)
