@@ -132,6 +132,61 @@ def build_synthesize(cfg: PipelineConfig, *, num_steps: Optional[int] = None,
     return synthesize
 
 
+def build_synthesize_recorded(cfg: PipelineConfig, *,
+                              num_steps: Optional[int] = None,
+                              cond_by_audio: bool = False,
+                              ref_compat: Optional[bool] = None,
+                              return_intermediates: bool = True):
+    """Noise-injected variant of ``build_synthesize`` for bit-matching
+    against the reference: instead of a PRNG key it takes the exact noise
+    tensors a reference-order torch run draws (see
+    ``utils.torch_bridge.record_reference_noise``):
+
+      prompt_noise: [B, T, H]   q_sample draw (ref: SpeechGenerator.py:106)
+      init_noise:   [B, T, H] or None when cond_by_audio (ref: :154)
+      step_noise:   [K, B, T, H] one per reverse step (ref: :130-147)
+
+    Returns (waveform, intermediates) so parity reports can compare every
+    stage (encoder latents, noised prompt, refined latents, VQ indices,
+    codec waveform, mel, final waveform)."""
+    steps = num_steps if num_steps is not None else cfg.sampler.num_steps
+    compat = cfg.dit.ref_compat if ref_compat is None else ref_compat
+    schedule = NoiseSchedule.cosine(cfg.dit.diffusion_steps)
+    taus = respaced_timesteps(cfg.dit.diffusion_steps, steps)
+
+    def synthesize(params: GeneratorParams, audio, padding_mask, text_ids,
+                   prompt_noise, init_noise, step_noise):
+        latents = encode_prompt_latents(params, cfg, audio, padding_mask)
+        text_ids_t = text_ids[:, :cfg.dit.max_token_length]
+        text_emb = gpt2_mod.embed_tokens(params.gpt2, text_ids_t)
+
+        t_full = jnp.full((latents.shape[0],), cfg.dit.diffusion_steps - 1,
+                          jnp.int32)
+        noised = q_sample(schedule, latents, t_full, prompt_noise,
+                          ref_compat=compat)
+        x_init = noised if cond_by_audio else init_noise
+
+        def model_fn(x, t):
+            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
+
+        refined = ddpm_sample(model_fn, jax.random.key(0), x_init, schedule,
+                              taus, noise_seq=step_noise)
+
+        stacked = jnp.repeat(refined[:, None], 2, axis=1)  # quirk #8 inverse
+        indices = rvq_mod.vq_indices(params.vector_quantizer, stacked)
+        wav = codec_mod.codec_decode(params.codec, cfg.codec, indices,
+                                     output_length=audio.shape[-1])
+        mel = _mel(cfg, wav[:, 0])
+        out = voc_mod.bigvgan_forward(params.vocoder, cfg.vocoder, mel)[:, 0]
+        if not return_intermediates:
+            return out
+        return out, {"latents": latents, "noised": noised,
+                     "refined": refined, "indices": indices,
+                     "codec_wav": wav, "mel": mel}
+
+    return synthesize
+
+
 def build_synthesize_with_slp(cfg: PipelineConfig, *,
                               num_steps: Optional[int] = None):
     """SLP-driven variant: latent length predicted from text+audio

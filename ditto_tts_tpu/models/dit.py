@@ -103,6 +103,61 @@ def init_ditto(key, cfg: DiTConfig, dtype=jnp.float32):
     return params
 
 
+def import_reference_state_dict(sd, cfg: DiTConfig):
+    """Map a reference ``DiTTO.state_dict()`` to the param pytree.
+
+    Reference module naming (ref: src/model/DiTTO.py:37-57, src/components/
+    DiT.py:8-98): ``t_embedding``, ``time_embed.{0,2}`` (Sequential),
+    ``ada_ln.{time,text}_mlp.1`` (Sequential(SiLU, Linear)), ``blocks.{i}``
+    with ``norm{1,2,3}``, ``attn``/``cross_attn`` (torch MultiheadAttention
+    packed in_proj + out_proj), ``mlp_fc1``/``gate``/``mlp_fc2``, and
+    ``proj_in``/``proj_out``. Buffers (``alphas_cumprod``, ``rotary.inv_freq``)
+    and the frozen ``nac.*`` subtree are ignored. Works on both full DiTTO
+    checkpoints and bare state dicts.
+    """
+    import numpy as np
+
+    def arr(name):
+        return jnp.asarray(np.asarray(sd[name]))
+
+    def lin(prefix):
+        out = {"weight": arr(f"{prefix}.weight")}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = arr(f"{prefix}.bias")
+        return out
+
+    def mha(prefix):
+        return {
+            "in_proj_weight": arr(f"{prefix}.in_proj_weight"),
+            "in_proj_bias": arr(f"{prefix}.in_proj_bias"),
+            "out_proj": lin(f"{prefix}.out_proj"),
+        }
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        b = f"blocks.{i}"
+        blocks.append({
+            "norm1": lin(f"{b}.norm1"),
+            "attn": mha(f"{b}.attn"),
+            "norm2": lin(f"{b}.norm2"),
+            "cross_attn": mha(f"{b}.cross_attn"),
+            "norm3": lin(f"{b}.norm3"),
+            "mlp_fc1": lin(f"{b}.mlp_fc1"),
+            "gate": lin(f"{b}.gate"),
+            "mlp_fc2": lin(f"{b}.mlp_fc2"),
+        })
+    return {
+        "t_embedding": {"weight": arr("t_embedding.weight")},
+        "time_embed": {"fc1": lin("time_embed.0"),
+                       "fc2": lin("time_embed.2")},
+        "ada_ln": {"time_mlp": lin("ada_ln.time_mlp.1"),
+                   "text_mlp": lin("ada_ln.text_mlp.1")},
+        "proj_in": lin("proj_in"),
+        "proj_out": lin("proj_out"),
+        "blocks": blocks,
+    }
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
