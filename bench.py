@@ -11,6 +11,7 @@ compute graph is identical to the trained model's, so throughput is
 representative.
 """
 
+import functools
 import json
 import os
 import sys
@@ -102,13 +103,122 @@ def main():
         times.append(time.time() - t0)
     dt = min(times)
     value = BATCH * SECONDS / dt
+
+    breakdown, mfu = stage_breakdown(cfg, params, audio, mask, text, dt)
     print(json.dumps({
         "metric": "audio_seconds_synthesized_per_s_per_chip",
         "value": round(value, 3),
         "unit": f"audio-s/s/chip (B={BATCH}, {SECONDS}s utt, "
                 f"{STEPS}-step DiT-base + BigVGAN)",
         "vs_baseline": round(value, 3),
+        "mfu": mfu,
+        "stage_breakdown": breakdown,
     }))
+
+
+# TPU v5e (v5 lite) peak dense bf16 matmul throughput per chip.
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+
+
+def stage_breakdown(cfg, params, audio, mask, text, total_dt):
+    """Per-stage seconds + XLA-analyzed FLOPs + MFU vs chip peak.
+
+    Times each pipeline stage as its own jit with a scalar readback
+    (block_until_ready alone can return early through the tunnel);
+    per-dispatch latency (~25 ms) is measured with a null program and
+    subtracted. FLOPs come from XLA's compiled cost analysis rather than
+    hand-counting.
+    """
+    from ditto_tts_tpu.infer.generator import build_stage_fns
+
+    stages = build_stage_fns(cfg)
+
+    # measure raw dispatch+readback latency to subtract from small stages
+    null = jax.jit(lambda x: jnp.sum(x[-4:]))
+    zv = jnp.zeros((8,), jnp.float32)
+    float(null(zv))
+    disp = min(_time_once(lambda: float(null(zv))) for _ in range(5))
+
+    length = audio.shape[-1]
+    latents = jax.jit(stages["encode"])(params, audio, mask)
+    refined = jax.block_until_ready(
+        jax.jit(stages["sampler"])(params, latents, text, jax.random.key(0)))
+    wav = jax.jit(functools.partial(stages["vq_decode"],
+                                    output_length=length))(params, refined)
+    melspec = jax.jit(stages["mel"])(params, wav)
+
+    runs = {
+        "encode": (stages["encode"], (params, audio, mask)),
+        "sampler": (stages["sampler"],
+                    (params, latents, text, jax.random.key(0))),
+        "vq_decode": (functools.partial(stages["vq_decode"],
+                                        output_length=length),
+                      (params, refined)),
+        "mel": (stages["mel"], (params, wav)),
+        "vocoder": (stages["vocoder"], (params, melspec)),
+    }
+
+    # XLA cost analysis counts while/scan bodies ONCE, so the sampler (a
+    # K-step scan of DiT forwards, itself a scan over blocks) is computed
+    # analytically; straight-line stages use XLA's count (the codec stages
+    # contain a 2-layer LSTM scan -> slight undercount, noted as lower bound)
+    analytic = {"sampler": STEPS * _dit_fwd_flops(
+        cfg.dit, BATCH, latents.shape[1], text.shape[1])}
+
+    breakdown = {}
+    total_flops = 0.0
+    for name, (fn, args) in runs.items():
+        jfn = jax.jit(lambda *a, _f=fn: jnp.sum(jnp.ravel(_f(*a))[-4:]))
+        float(jfn(*args))  # compile + warm
+        dt = min(_time_once(lambda: float(jfn(*args))) for _ in range(3))
+        # dispatch-dominated stages (mel) bottom out at the null-program
+        # latency; clamp so rates stay meaningful
+        dt = max(dt - disp, 1e-3)
+        if name in analytic:
+            flops = analytic[name]
+        else:
+            cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+            flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        total_flops += flops
+        breakdown[name] = {
+            "seconds": round(dt, 4),
+            "gflops": round(flops / 1e9, 1),
+            "tflops_per_s": round(flops / dt / 1e12, 1),
+            "mfu": round(flops / dt / (PEAK_TFLOPS * 1e12), 4),
+        }
+    mfu = round(total_flops / total_dt / (PEAK_TFLOPS * 1e12), 4)
+    print(f"# stage sum {sum(b['seconds'] for b in breakdown.values()):.3f}s"
+          f" vs e2e {total_dt:.3f}s; dispatch {disp*1e3:.1f}ms",
+          file=sys.stderr)
+    return breakdown, mfu
+
+
+def _time_once(thunk):
+    t0 = time.time()
+    thunk()
+    return time.time() - t0
+
+
+def _dit_fwd_flops(dit, b, s, st):
+    """Analytic multiply-add FLOPs of one DiTTO forward (eps prediction).
+
+    Counts the matmuls (QKV/out projections, attention score+value
+    contractions, gated MLP, long-skip projections) — elementwise and
+    norm work is negligible at these sizes."""
+    h = dit.hidden_dim
+    m = dit.mlp_ratio * h
+    st = min(st, dit.max_token_length)
+    per_block = (
+        2 * s * h * 3 * h                # self qkv
+        + 2 * 2 * s * s * h              # self QK^T + PV
+        + (0 if dit.ref_compat else 2 * s * h * h)  # self out_proj
+        + 2 * s * h * h + 2 * 2 * st * h * h        # cross q + kv
+        + 2 * 2 * s * st * h             # cross QK^T + PV
+        + 2 * s * h * h                  # cross out_proj
+        + 3 * 2 * s * h * m              # fc1 + gate + fc2
+    )
+    fwd = dit.num_layers * per_block + 2 * 2 * s * h * h  # proj_in/out
+    return b * fwd
 
 
 if __name__ == "__main__":

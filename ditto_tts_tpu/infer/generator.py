@@ -132,6 +132,44 @@ def build_synthesize(cfg: PipelineConfig, *, num_steps: Optional[int] = None,
     return synthesize
 
 
+def build_stage_fns(cfg: PipelineConfig, *, num_steps: Optional[int] = None):
+    """The synthesize chain split into its five pipeline stages, each a
+    separately jittable fn — for per-stage profiling / MFU accounting
+    (stage boundaries follow ref: SpeechGenerator.py:93-128)."""
+    steps = num_steps if num_steps is not None else cfg.sampler.num_steps
+    schedule = NoiseSchedule.cosine(cfg.dit.diffusion_steps)
+    taus = respaced_timesteps(cfg.dit.diffusion_steps, steps)
+
+    def encode(params, audio, padding_mask):
+        return encode_prompt_latents(params, cfg, audio, padding_mask)
+
+    def sampler(params, latents, text_ids, key):
+        text_emb = gpt2_mod.embed_tokens(
+            params.gpt2, text_ids[:, :cfg.dit.max_token_length])
+
+        def model_fn(x, t):
+            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
+
+        k_init, k_samp = jax.random.split(key)
+        x_init = jax.random.normal(k_init, latents.shape, latents.dtype)
+        return ddpm_sample(model_fn, k_samp, x_init, schedule, taus)
+
+    def vq_decode(params, refined, output_length):
+        stacked = jnp.repeat(refined[:, None], 2, axis=1)
+        indices = rvq_mod.vq_indices(params.vector_quantizer, stacked)
+        return codec_mod.codec_decode(params.codec, cfg.codec, indices,
+                                      output_length=output_length)
+
+    def mel(params, wav):
+        return _mel(cfg, wav[:, 0])
+
+    def vocoder(params, m):
+        return voc_mod.bigvgan_forward(params.vocoder, cfg.vocoder, m)
+
+    return {"encode": encode, "sampler": sampler, "vq_decode": vq_decode,
+            "mel": mel, "vocoder": vocoder}
+
+
 def build_synthesize_recorded(cfg: PipelineConfig, *,
                               num_steps: Optional[int] = None,
                               cond_by_audio: bool = False,

@@ -134,6 +134,97 @@ def pallas_attention(q, k, v, *, causal=False, sm_scale=None, block_q=256,
     return out.reshape(B, H, sq_pad, d_pad)[:, :, :Sq, :D]
 
 
+def _attn_kernel_packed(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale,
+                        causal, block_q, head_dim):
+    """Head-pair-packed kernel: refs carry P=128//head_dim heads side by side
+    in the 128-lane axis; each head's QK^T / softmax / PV runs on its own
+    64-lane slice (contraction depth <=128 costs one MXU pass either way, so
+    this matches the padded kernel's FLOPs while halving HBM traffic and
+    VMEM footprint, and removing the pad/slice copies around the call)."""
+    qi = pl.program_id(1)
+    kv_len = kvlen_ref[0]
+    q = q_ref[0]                      # [block_q, P*D]
+    k = k_ref[0]                      # [Sk_pad, P*D]
+    v = v_ref[0]
+    packed = q.shape[-1] // head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], k.shape[0]), 1)
+    mask = col < kv_len
+    if causal:
+        row = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (q.shape[0], k.shape[0]), 0)
+        mask = jnp.logical_and(mask, col <= row)
+    for p in range(packed):
+        sl = slice(p * head_dim, (p + 1) * head_dim)
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        scores = jnp.where(mask, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            probs.astype(v.dtype), v[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "interpret"))
+def pallas_attention_packed(q, k, v, *, causal=False, sm_scale=None,
+                            block_q=256, interpret=False):
+    """Blocked TPU attention with 128//D heads packed per lane block.
+
+    For the DiT's D=64 heads this avoids the 64->128 zero padding of
+    ``pallas_attention``: no pad/unpad HBM copies, half the Q/K/V/O traffic,
+    half the VMEM. Falls back to the padded kernel when D doesn't pack.
+    """
+    B, H, Sq, D = q.shape
+    packed = 128 // D if D <= 128 and 128 % D == 0 else 1
+    if packed <= 1 or H % packed != 0:
+        return pallas_attention(q, k, v, causal=causal, sm_scale=sm_scale,
+                                block_q=block_q, interpret=interpret)
+    Sk = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+
+    block_q = min(block_q, _round_up(Sq, 8))
+    sq_pad = _round_up(Sq, block_q)
+    sk_pad = _round_up(Sk, 128)
+    hp = H // packed
+
+    def pack(x, s_pad):
+        s = x.shape[2]
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        x = x.reshape(B, hp, packed, s_pad, D).swapaxes(2, 3)
+        return x.reshape(B * hp, s_pad, packed * D)
+
+    qp = pack(q, sq_pad)
+    kp = pack(k, sk_pad)
+    vp = pack(v, sk_pad)
+    kv_len = jnp.array([Sk], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * hp, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, packed * D), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, sk_pad, packed * D), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, sk_pad, packed * D), lambda b, i, *_: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, packed * D),
+                               lambda b, i, *_: (b, i, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_packed, sm_scale=sm_scale,
+                          causal=causal, block_q=block_q, head_dim=D),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * hp, sq_pad, packed * D), q.dtype),
+        interpret=interpret,
+    )(kv_len, qp, kp, vp)
+    out = out.reshape(B, hp, sq_pad, packed, D).swapaxes(2, 3)
+    return out.reshape(B, H, sq_pad, D)[:, :, :Sq]
+
+
 # ---------------------------------------------------------------------------
 # dispatching entry point
 # ---------------------------------------------------------------------------
@@ -142,11 +233,22 @@ def attention(q, k, v, *, causal=False, bias=None, sm_scale=None,
               use_pallas=None):
     """Multi-head attention over [B, H, S, D] tensors.
 
-    Uses the Pallas kernel on TPU when there is no additive bias; otherwise
-    the jnp reference (which XLA still fuses well on TPU).
+    Dispatch is empirical, from a slope-based microbench on the v5e chip
+    (scripts/profile_attention.py, bf16, H=12, D=64, ms/call):
+
+      Sk=750:  XLA 0.09   pallas pad128 0.20   pallas packed 0.18
+      Sk=1024: XLA 0.51   pallas pad128 0.24   pallas packed 0.26
+      Sk=1536: XLA 1.30   pallas pad128 0.54   pallas packed 0.41
+
+    XLA's fused softmax wins while the whole [Sq, Sk] score tile stays
+    small; past ~1k keys the Pallas kernels win by 2-3x, and the head-packed
+    variant (no 64->128 d padding: half the HBM traffic, no pad copies) is
+    the better of the two at long Sk. So: XLA below 1k keys, packed Pallas
+    above; explicit additive bias always routes to XLA.
     """
     if use_pallas is None:
-        use_pallas = on_tpu() and bias is None
+        use_pallas = on_tpu() and bias is None and k.shape[2] >= 1000
     if use_pallas and bias is None:
-        return pallas_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+        return pallas_attention_packed(q, k, v, causal=causal,
+                                       sm_scale=sm_scale)
     return sdpa_reference(q, k, v, causal=causal, bias=bias, sm_scale=sm_scale)

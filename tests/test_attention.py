@@ -67,3 +67,23 @@ def test_pallas_attention_block_boundary():
     got = pallas_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [
+    # (B, H, Sq, Sk, D) — D=64 packs 2 heads, D=32 packs 4; odd H falls back
+    (2, 4, 100, 100, 64),
+    (1, 12, 260, 260, 64),
+    (2, 4, 50, 50, 32),
+    (1, 3, 40, 40, 64),
+])
+@pytest.mark.parametrize("causal", [False, True])
+def test_pallas_packed_matches_reference(shape, causal):
+    from ditto_tts_tpu.ops.attention import pallas_attention_packed
+    b, h, sq, sk, d = shape
+    q = jnp.asarray(_rand((b, h, sq, d), 10))
+    k = jnp.asarray(_rand((b, h, sk, d), 11))
+    v = jnp.asarray(_rand((b, h, sk, d), 12))
+    want = sdpa_reference(q, k, v, causal=causal)
+    got = pallas_attention_packed(q, k, v, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
