@@ -26,19 +26,23 @@ import jax
 _SEP = "//"
 
 
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):           # DictKey / FlattenedIndexKey
+            parts.append(f"k:{p.key}")
+        elif hasattr(p, "idx"):         # SequenceKey
+            parts.append(f"i:{p.idx}")
+        elif hasattr(p, "name"):        # GetAttrKey (NamedTuple opt states)
+            parts.append(f"k:{p.name}")
+        else:
+            parts.append(f"k:{p}")
+    return _SEP.join(parts)
+
+
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        parts = []
-        for p in path:
-            if hasattr(p, "key"):
-                parts.append(f"k:{p.key}")
-            elif hasattr(p, "idx"):
-                parts.append(f"i:{p.idx}")
-            else:
-                parts.append(f"k:{p}")
-        flat[_SEP.join(parts)] = np.asarray(leaf)
-    return flat
+    return {_path_str(path): np.asarray(leaf)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]}
 
 
 def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
@@ -100,6 +104,39 @@ def load_checkpoint(path: str) -> Tuple[Any, Optional[Dict]]:
         with open(_meta_path(path)) as f:
             meta = json.load(f)
     return _unflatten(flat), meta
+
+
+def restore_into(template: Any, path: str) -> Any:
+    """Path-keyed restore: load the .npz and place each stored array at the
+    template leaf with the SAME tree path, casting to the template dtype.
+
+    Unlike order-based adoption, a structural drift between save and load
+    (renamed dict key, reordered optimizer state, added field) fails loudly
+    with the offending paths instead of silently mis-assigning weights.
+    """
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    with np.load(npz_path) as z:
+        flat = {k: z[k] for k in z.files}
+
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(
+        template)
+    tmpl_paths = [_path_str(p) for p, _ in leaves_with_paths]
+    missing = [p for p in tmpl_paths if p not in flat]
+    extra = sorted(set(flat) - set(tmpl_paths))
+    if missing or extra:
+        raise KeyError(
+            f"checkpoint/template structure mismatch for {path}: "
+            f"missing {missing[:5]}{'...' if len(missing) > 5 else ''} "
+            f"extra {extra[:5]}{'...' if len(extra) > 5 else ''}")
+    new_leaves = []
+    for p, (_, tmpl_leaf) in zip(tmpl_paths, leaves_with_paths):
+        arr = flat[p]
+        tmpl_arr = np.asarray(tmpl_leaf)
+        if arr.shape != tmpl_arr.shape:
+            raise ValueError(f"shape mismatch at {p}: checkpoint "
+                             f"{arr.shape} vs template {tmpl_arr.shape}")
+        new_leaves.append(jax.numpy.asarray(arr, tmpl_arr.dtype))
+    return treedef.unflatten(new_leaves)
 
 
 def _meta_path(path: str) -> str:

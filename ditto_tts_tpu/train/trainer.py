@@ -24,7 +24,8 @@ from typing import Any, Callable, Dict, Iterable, Optional
 import numpy as np
 import jax
 
-from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .checkpoint import (latest_checkpoint, restore_into,
+                         save_checkpoint)
 
 
 class Trainer:
@@ -138,20 +139,16 @@ class Trainer:
         save_checkpoint(path, state, metadata=meta)
 
     def _load(self, path, like_state):
-        loaded, meta = load_checkpoint(path)
-        # adopt loaded arrays into the template structure by leaf order:
-        # NamedTuple optimizer states round-trip as plain lists, so zip the
-        # flattened leaves against the template treedef (dict keys sort
-        # identically on both sides)
-        tmpl_leaves, treedef = jax.tree_util.tree_flatten(like_state)
-        loaded_leaves = jax.tree_util.tree_leaves(loaded)
-        if len(tmpl_leaves) != len(loaded_leaves):
-            raise ValueError(
-                f"checkpoint leaf count {len(loaded_leaves)} != template "
-                f"{len(tmpl_leaves)} for {path}")
-        state = treedef.unflatten([
-            jax.numpy.asarray(arr, tmpl.dtype)
-            for tmpl, arr in zip(tmpl_leaves, loaded_leaves)])
+        # path-keyed restore: every stored array goes to the template leaf
+        # with the same tree path; structural drift fails loudly instead of
+        # silently mis-assigning weights (see checkpoint.restore_into)
+        state = restore_into(like_state, path)
+        meta = None
+        meta_file = path[:-4] + ".json" if path.endswith(".npz") else \
+            path + ".json"
+        if os.path.exists(meta_file):
+            with open(meta_file) as f:
+                meta = json.load(f)
         return state, meta
 
 

@@ -156,3 +156,37 @@ def test_trainer_fit_and_resume(tmp_path):
     import json as _json
     rec = _json.loads(lines[0])
     assert "train" in rec and "epoch" in rec
+
+
+def test_checkpoint_restore_by_path(tmp_path):
+    """save -> load round-trips a params+AdamW state; a structurally
+    mutated template fails loudly instead of silently mis-assigning."""
+    import optax
+    from ditto_tts_tpu.train.checkpoint import restore_into, save_checkpoint
+
+    params = {"b_layer": {"weight": jnp.arange(6.0).reshape(2, 3)},
+              "a_layer": [{"w": jnp.ones((2,))}, {"w": 2.0 * jnp.ones((2,))}]}
+    opt = optax.adamw(1e-3)
+    state = {"params": params, "opt": opt.init(params), "step": jnp.array(3)}
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, state)
+
+    restored = restore_into(state, path)
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_flatten_with_path(state)[0],
+            jax.tree_util.tree_flatten_with_path(restored)[0]):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    # mutated structure: renamed key -> loud failure
+    bad = {"params": {"b_layer": params["b_layer"],
+                      "renamed": params["a_layer"]},
+           "opt": opt.init(params), "step": jnp.array(0)}
+    with pytest.raises(KeyError):
+        restore_into(bad, path)
+
+    # mutated shape -> loud failure
+    bad2 = jax.tree_util.tree_map(lambda a: a, state)
+    bad2["params"]["b_layer"]["weight"] = jnp.zeros((3, 2))
+    with pytest.raises(ValueError):
+        restore_into(bad2, path)
