@@ -50,6 +50,10 @@ def main():
     p.add_argument("--bigvgan", default=None)
     p.add_argument("--ditto", default=None)
     p.add_argument("--nac", default=None)
+    p.add_argument("--s2t-vocab", default=None,
+                   help="Speech2Text vocab.json for transcript decoding; "
+                        "omitted -> structurally-valid placeholder vocab")
+    p.add_argument("--s2t-lang", default="fr")
     p.add_argument("--s2t", default=None,
                    help="local s2t snapshot for on-TPU ASR eval")
     p.add_argument("--ref-config", action="store_true")
@@ -108,10 +112,21 @@ def main():
     asr = None
     if args.s2t:
         from ditto_tts_tpu.models import s2t as s2t_mod
+        from ditto_tts_tpu.text.s2t_tokenizer import S2TTokenizer
         s2t_cfg = s2t_mod.s2t_medium_config()
         s2t_params = s2t_mod.import_hf_state_dict(
             load_state_dict(args.s2t), s2t_cfg)
-        print("[eval] s2t ASR loaded (JAX, on-TPU)")
+        if args.s2t_vocab:
+            s2t_tok = S2TTokenizer.from_file(args.s2t_vocab)
+        else:
+            print("[warn] --s2t-vocab missing: placeholder vocab "
+                  "(CER/WER is text-vs-text but not the trained mapping)")
+            s2t_tok = S2TTokenizer.placeholder(s2t_cfg.vocab_size)
+        # forced BOS = the <lang:xx> id from the vocab (ref:
+        # src/model/Speech2Text.py:11 tokenizer.lang_code_to_id["fr"])
+        forced_bos = s2t_tok.lang_code_to_id[args.s2t_lang]
+        print(f"[eval] s2t ASR loaded; <lang:{args.s2t_lang}> id "
+              f"{forced_bos}")
     tok = GPT2Tokenizer(args.gpt2_vocab, args.gpt2_merges)
 
     ds = MLSDataset(args.data_path, tok, cfg.dit.max_token_length,
@@ -146,8 +161,8 @@ def main():
                 ids = s2t_mod.greedy_decode(
                     s2t_params, s2t_cfg, jnp.asarray(fb),
                     jnp.ones((1, fb.shape[1]), jnp.int32),
-                    forced_bos_id=9, max_len=200)  # 9 = fr lang id
-                hyps.append(" ".join(str(i) for i in np.asarray(ids)[0]))
+                    forced_bos_id=forced_bos, max_len=200)
+                hyps.append(s2t_tok.decode(np.asarray(ids)[0]))
 
     results = {"mel_mae_mean": float(np.mean(mel_maes)),
                "num_utterances": len(refs)}

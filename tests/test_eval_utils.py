@@ -81,3 +81,31 @@ def test_plot_history(tmp_path):
     out = plot_history(hist, str(tmp_path / "curve.png"))
     import os
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_asr_leg_produces_text_cer_wer():
+    """The full CER/WER leg (ref: Speech2Text.py:13-21 + Experiments.ipynb
+    cell 11): waveform -> fbank -> greedy decode -> TEXT hypotheses ->
+    text-vs-text CER/WER. Random-init tiny model, placeholder vocab."""
+    from ditto_tts_tpu.models import s2t as s2t_mod
+    from ditto_tts_tpu.text.s2t_tokenizer import S2TTokenizer
+
+    cfg = s2t_mod.S2TConfig(d_model=16, encoder_layers=1, decoder_layers=1,
+                            encoder_heads=2, decoder_heads=2,
+                            encoder_ffn=32, decoder_ffn=32, vocab_size=64)
+    params = s2t_mod.init_s2t(jax.random.key(0), cfg)
+    tok = S2TTokenizer.placeholder(cfg.vocab_size)
+    forced_bos = tok.lang_code_to_id["fr"]
+
+    wav16 = 0.05 * np.random.default_rng(0).standard_normal(16000)
+    fb = s2t_mod.log_mel_fbank(wav16.astype(np.float32), 16000)[None]
+    ids = s2t_mod.greedy_decode(
+        params, cfg, jnp.asarray(fb), jnp.ones((1, fb.shape[1]), jnp.int32),
+        forced_bos_id=forced_bos, max_len=12)
+    hyp = tok.decode(np.asarray(ids)[0])
+    assert isinstance(hyp, str)
+    assert "<" not in hyp  # specials filtered; words only
+
+    refs = ["bonjour le monde"]
+    c, w = cer(refs, [hyp]), wer(refs, [hyp])
+    assert np.isfinite(c) and np.isfinite(w) and c >= 0.0 and w >= 0.0

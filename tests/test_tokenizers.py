@@ -97,3 +97,44 @@ def test_gpt2_matches_hf_with_same_files(tmp_path):
     mine = GPT2Tokenizer(str(vp), str(mp))
     for text in ["hello world", "hello", " world"]:
         assert mine.encode(text) == hf(text)["input_ids"], text
+
+
+class TestS2TTokenizer:
+    """Pure-Python S2T transcript decode (ref: Speech2Text.py:19-21)."""
+
+    def _tok(self):
+        from ditto_tts_tpu.text.s2t_tokenizer import S2TTokenizer
+        vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3,
+                 "<lang:fr>": 4, "<lang:de>": 5,
+                 "▁bon": 6, "jour": 7, "▁le": 8, "▁monde": 9}
+        return S2TTokenizer(vocab)
+
+    def test_decode_known_sequence(self):
+        tok = self._tok()
+        # <lang:fr> ▁bon jour ▁le ▁monde </s> <pad> <pad>
+        assert tok.decode([4, 6, 7, 8, 9, 2, 1, 1]) == "bonjour le monde"
+
+    def test_eos_truncates(self):
+        tok = self._tok()
+        assert tok.decode([4, 6, 7, 2, 8, 9]) == "bonjour"
+
+    def test_lang_code_lookup(self):
+        tok = self._tok()
+        assert tok.lang_code_to_id == {"fr": 4, "de": 5}
+
+    def test_keep_special_tokens(self):
+        tok = self._tok()
+        out = tok.decode([4, 6, 7], skip_special_tokens=False)
+        assert out == "<lang:fr> bonjour"
+
+    def test_placeholder_structure(self):
+        from ditto_tts_tpu.text.s2t_tokenizer import S2TTokenizer
+        tok = S2TTokenizer.placeholder(64)
+        assert tok.lang_code_to_id["fr"] == 5  # <s> <pad> </s> <unk> pt fr
+        text = tok.decode([5, 20, 21, 2])
+        assert text == "tok20 tok21"
+
+    def test_batch_decode(self):
+        tok = self._tok()
+        assert tok.batch_decode([[4, 6, 7, 2], [4, 8, 9, 2]]) == \
+            ["bonjour", "le monde"]
