@@ -43,19 +43,28 @@ def auto_mesh(model_parallel: int = 1,
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:
-    """Bootstrap multi-host JAX (no-op on single host / already-initialized).
+    """Bootstrap multi-host JAX (idempotent).
 
-    On TPU pods the env provides the coordination info; args are for
-    CPU-based integration tests.
+    With explicit arguments (CPU integration tests, manual pod bringup)
+    failures PROPAGATE — a half-initialized distributed run must fail fast,
+    not limp along single-process. Only the zero-arg auto-detect form
+    (TPU pod env metadata) is allowed to fall back to single-process when
+    no coordination env exists. Exercised for real by
+    tests/test_multihost.py (2 CPU processes over a coordinator).
     """
-    if jax.process_count() > 1:
+    # NOTE: jax.process_count() would initialize the XLA backend, after
+    # which distributed init is rejected — probe the coordination client.
+    if jax.distributed.is_initialized():
         return
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
     except (ValueError, RuntimeError):
-        pass  # single-process run
+        if explicit:
+            raise
+        # zero-arg form on a single host: no coordinator env -> single proc
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
