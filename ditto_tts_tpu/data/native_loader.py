@@ -62,6 +62,13 @@ def _load():
     lib.decode_wav_file.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                     ctypes.POINTER(ctypes.c_float),
                                     ctypes.c_int]
+    lib.decode_audio_file.restype = ctypes.c_int
+    lib.decode_audio_file.argtypes = lib.decode_wav_file.argtypes
+    lib.encode_opus_file.restype = ctypes.c_int
+    lib.encode_opus_file.argtypes = [ctypes.c_char_p,
+                                     ctypes.POINTER(ctypes.c_float),
+                                     ctypes.c_long, ctypes.c_int]
+    lib.opus_available.restype = ctypes.c_int
     lib.resample_f32.restype = ctypes.c_int
     lib.resample_f32.argtypes = [ctypes.POINTER(ctypes.c_float),
                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -77,15 +84,40 @@ def available() -> bool:
 
 def decode_wav(path: str, target_rate: int = 24000,
                max_seconds: float = 60.0) -> np.ndarray:
+    return decode_audio(path, target_rate, max_seconds)
+
+
+def decode_audio(path: str, target_rate: int = 24000,
+                 max_seconds: float = 60.0) -> np.ndarray:
+    """Decode WAV or Ogg-Opus (dispatch by magic bytes) to mono float at
+    target_rate — the torchaudio-free MLS decode path (ref: MLS.py:58-61)."""
     lib = _load()
     assert lib is not None, "native loader unavailable"
     buf = np.zeros(int(target_rate * max_seconds), np.float32)
-    n = lib.decode_wav_file(
+    n = lib.decode_audio_file(
         path.encode(), target_rate,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(buf))
     if n < 0:
-        raise ValueError(f"decode_wav failed ({n}) for {path}")
+        raise ValueError(f"decode_audio failed ({n}) for {path}")
     return buf[:n].copy()
+
+
+def opus_available() -> bool:
+    lib = _load()
+    return lib is not None and bool(lib.opus_available())
+
+
+def encode_opus(path: str, pcm: np.ndarray, sample_rate: int) -> None:
+    """Write mono float pcm as an Ogg-Opus file via the system libopus
+    (fixture generation + the ffmpeg-free transcode tool)."""
+    lib = _load()
+    assert lib is not None, "native loader unavailable"
+    pcm = np.ascontiguousarray(pcm, np.float32)
+    rc = lib.encode_opus_file(
+        path.encode(), pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(pcm), sample_rate)
+    if rc != 0:
+        raise ValueError(f"encode_opus failed ({rc}) for {path}")
 
 
 def resample(x: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:

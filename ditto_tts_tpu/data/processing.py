@@ -1,10 +1,11 @@
-"""Host-side audio preprocessing utilities (ffmpeg CLI).
+"""Host-side audio preprocessing utilities.
 
 Capability parity with the reference preprocessing (ref: src/utils/
 Processing.py:5-44 — strips opus metadata via ``ffmpeg -map_metadata -1 -c
-copy`` per file). Also provides ffmpeg-based decode to float32 PCM since
-torchaudio/soundfile are not part of this stack (decode happens on the
-host; the TPU path starts at waveform tensors).
+copy`` per file) plus decode to float32 PCM since torchaudio/soundfile are
+not part of this stack. Decode prefers the native loader (WAV + Ogg-Opus
+via the system libopus, no ffmpeg binary needed — native/opus_codec.cc)
+and falls back to the ffmpeg CLI for other containers when present.
 """
 
 from __future__ import annotations
@@ -26,7 +27,16 @@ def ffmpeg_available() -> bool:
 
 
 def decode_audio(path: str, sample_rate: int = 24000) -> np.ndarray:
-    """Decode any ffmpeg-supported file to mono float32 at sample_rate."""
+    """Decode an audio file to mono float32 at sample_rate.
+
+    WAV and Ogg-Opus (the MLS corpus format, ref: MLS.py:97-104) go through
+    the native loader — no ffmpeg required; anything else falls back to the
+    ffmpeg CLI when available."""
+    from . import native_loader as nl
+    if nl.available():
+        head = open(path, "rb").read(4)
+        if head == b"RIFF" or (head == b"OggS" and nl.opus_available()):
+            return nl.decode_audio(path, sample_rate)
     cmd = ["ffmpeg", "-v", "error", "-i", path, "-f", "f32le", "-ac", "1",
            "-ar", str(sample_rate), "pipe:1"]
     out = subprocess.run(cmd, capture_output=True, check=True).stdout

@@ -33,6 +33,13 @@
 #include <thread>
 #include <vector>
 
+// Ogg-Opus support (native/opus_codec.cc, dlopen'd system libopus)
+bool decode_opus(const uint8_t* data, size_t n, int preferred_rate,
+                 std::vector<float>* mono, int* rate_out);
+bool encode_opus(const float* pcm, size_t n, int sample_rate,
+                 std::vector<uint8_t>* out);
+bool opus_runtime_available();
+
 namespace {
 
 constexpr double kPi = 3.14159265358979323846;
@@ -103,6 +110,19 @@ bool parse_wav(const uint8_t* buf, size_t n, WavData* out) {
     }
     out->samples[i] = float(acc / channels);
   }
+  return true;
+}
+
+// Decode any supported container by magic bytes (RIFF/WAVE or Ogg-Opus)
+// into mono float at native rate.
+bool decode_audio(const uint8_t* buf, size_t n, int preferred_rate,
+                  std::vector<float>* mono, int* rate) {
+  if (n >= 4 && memcmp(buf, "OggS", 4) == 0)
+    return decode_opus(buf, n, preferred_rate, mono, rate);
+  WavData w;
+  if (!parse_wav(buf, n, &w)) return false;
+  *mono = std::move(w.samples);
+  *rate = w.rate;
   return true;
 }
 
@@ -229,14 +249,16 @@ struct Loader {
   bool load_item(int idx, std::vector<float>* mono) {
     std::vector<uint8_t> raw;
     if (!read_file(paths[idx].c_str(), &raw)) return false;
-    WavData w;
-    if (!parse_wav(raw.data(), raw.size(), &w)) return false;
-    if (w.rate != sample_rate) {
+    std::vector<float> pcm;
+    int rate = 0;
+    if (!decode_audio(raw.data(), raw.size(), sample_rate, &pcm, &rate))
+      return false;
+    if (rate != sample_rate) {
       std::vector<float> res;
-      resample(w.samples.data(), w.samples.size(), w.rate, sample_rate, &res);
+      resample(pcm.data(), pcm.size(), rate, sample_rate, &res);
       *mono = std::move(res);
     } else {
-      *mono = std::move(w.samples);
+      *mono = std::move(pcm);
     }
     return true;
   }
@@ -359,22 +381,47 @@ void loader_reset(void* h, unsigned seed) {
 
 void loader_destroy(void* h) { delete static_cast<Loader*>(h); }
 
+int decode_audio_file(const char* path, int target_rate, float* out,
+                      int max_out);
+
 int decode_wav_file(const char* path, int target_rate, float* out,
                     int max_out) {
+  return decode_audio_file(path, target_rate, out, max_out);
+}
+
+// Decode WAV or Ogg-Opus (by magic bytes) to mono float at target_rate.
+int decode_audio_file(const char* path, int target_rate, float* out,
+                      int max_out) {
   std::vector<uint8_t> raw;
   if (!read_file(path, &raw)) return -1;
-  WavData w;
-  if (!parse_wav(raw.data(), raw.size(), &w)) return -2;
-  std::vector<float>* samples = &w.samples;
+  std::vector<float> pcm;
+  int rate = 0;
+  if (!decode_audio(raw.data(), raw.size(), target_rate, &pcm, &rate))
+    return -2;
+  std::vector<float>* samples = &pcm;
   std::vector<float> res;
-  if (w.rate != target_rate) {
-    resample(w.samples.data(), w.samples.size(), w.rate, target_rate, &res);
+  if (rate != target_rate) {
+    resample(pcm.data(), pcm.size(), rate, target_rate, &res);
     samples = &res;
   }
   int n = int(std::min(size_t(max_out), samples->size()));
   memcpy(out, samples->data(), size_t(n) * sizeof(float));
   return n;
 }
+
+// Encode mono float pcm to an Ogg-Opus file (fixture/transcode tooling).
+int encode_opus_file(const char* path, const float* pcm, long n,
+                     int sample_rate) {
+  std::vector<uint8_t> bytes;
+  if (!encode_opus(pcm, size_t(n), sample_rate, &bytes)) return -2;
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  size_t wrote = fwrite(bytes.data(), 1, bytes.size(), f);
+  fclose(f);
+  return wrote == bytes.size() ? 0 : -3;
+}
+
+int opus_available() { return opus_runtime_available() ? 1 : 0; }
 
 int resample_f32(const float* in, int n_in, int rate_in, int rate_out,
                  float* out, int max_out) {

@@ -1,5 +1,5 @@
-"""MLS dataset tests with a synthetic on-disk corpus (wav via ffmpeg or
-raw float files if ffmpeg is unavailable)."""
+"""MLS dataset tests with a synthetic on-disk corpus of REAL .opus files
+(encoded via the native libopus path; WAV-content fallback otherwise)."""
 
 import json
 import os
@@ -8,13 +8,17 @@ import wave
 import numpy as np
 import pytest
 
+from ditto_tts_tpu.data import native_loader as nl
 from ditto_tts_tpu.data.mls import (MLSDataset, batches, bucket_for,
                                     collate, default_buckets)
 from ditto_tts_tpu.data.processing import decode_audio, ffmpeg_available
 from ditto_tts_tpu.text.tokenizers import ByT5Tokenizer
 
-needs_ffmpeg = pytest.mark.skipif(not ffmpeg_available(),
-                                  reason="ffmpeg not available")
+_opus_ok = nl.available() and nl.opus_available()
+needs_decoder = pytest.mark.skipif(not (_opus_ok or ffmpeg_available()),
+                                   reason="no opus decoder available")
+# kept for back-compat with older test ids
+needs_ffmpeg = needs_decoder
 
 
 def _write_wav(path, seconds, sr=24000, freq=220.0):
@@ -28,15 +32,27 @@ def _write_wav(path, seconds, sr=24000, freq=220.0):
         f.writeframes(pcm.tobytes())
 
 
+def _write_clip(path, seconds, sr=24000, freq=220.0):
+    """A real Ogg-Opus clip when libopus is present (the MLS corpus format,
+    ref: MLS.py:97-104); WAV content under .opus otherwise (decode sniffs
+    magic bytes either way)."""
+    if _opus_ok:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = np.arange(int(seconds * sr)) / sr
+        pcm = (0.3 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        nl.encode_opus(path, pcm, sr)
+    else:
+        _write_wav(path, seconds, sr, freq)
+
+
 @pytest.fixture()
 def corpus(tmp_path):
-    """MLS layout with .opus extension (content is wav; ffmpeg sniffs)."""
     root = tmp_path / "mls"
     lines = []
     for i, secs in enumerate([10.5, 12.0, 19.0]):
         utt = f"100{i}_200{i}_000000"
         path = root / "audio_clean" / f"100{i}" / f"200{i}" / f"{utt}.opus"
-        _write_wav(str(path), secs)
+        _write_clip(str(path), secs)
         lines.append(f"{utt}\tbonjour le monde numero {i}")
     (root / "transcripts.txt").write_text("\n".join(lines), encoding="utf-8")
     return str(root)

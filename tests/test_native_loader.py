@@ -114,3 +114,61 @@ def test_native_loader_reset_reshuffles(wav_corpus):
     second = [tuple(b["indices"]) for b in loader]
     assert len(first) == len(second) == 2
     loader.close()
+
+
+class TestOpus:
+    """Ogg-Opus decode without ffmpeg/torchaudio (ref: MLS.py:58-61).
+
+    Fixtures are fabricated in-process: libopus encode + hand-rolled Ogg
+    mux, then decoded back through the loader's generic audio path."""
+
+    def _sine(self, seconds=1.0, sr=24000, f=440.0):
+        t = np.arange(int(seconds * sr)) / sr
+        return (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    def test_opus_roundtrip_24k(self, tmp_path):
+        nl = pytest.importorskip("ditto_tts_tpu.data.native_loader")
+        if not (nl.available() and nl.opus_available()):
+            pytest.skip("libopus not available")
+        pcm = self._sine()
+        path = str(tmp_path / "tone.opus")
+        nl.encode_opus(path, pcm, 24000)
+        out = nl.decode_audio(path, 24000)
+        # lossy codec: assert length and strong waveform correlation after
+        # the codec's algorithmic delay settles
+        assert abs(len(out) - len(pcm)) <= 240  # within 10 ms
+        n = min(len(out), len(pcm)) - 2400
+        a, b = pcm[2400:n], out[2400:n]
+        # align by cross-correlation (codec delay)
+        lag = int(np.argmax(np.correlate(b[:4800], a[:2400], "valid")))
+        a2 = a[: len(a) - lag]
+        b2 = b[lag: lag + len(a2)]
+        corr = np.corrcoef(a2, b2)[0, 1]
+        assert corr > 0.97, corr
+
+    def test_opus_resampled_decode(self, tmp_path):
+        nl = pytest.importorskip("ditto_tts_tpu.data.native_loader")
+        if not (nl.available() and nl.opus_available()):
+            pytest.skip("libopus not available")
+        pcm = self._sine(0.5, sr=48000)
+        path = str(tmp_path / "tone48.opus")
+        nl.encode_opus(path, pcm, 48000)
+        out = nl.decode_audio(path, 22050)  # not opus-native -> resample
+        assert abs(len(out) - int(0.5 * 22050)) <= 220
+
+    def test_native_loader_batches_opus(self, tmp_path):
+        nl = pytest.importorskip("ditto_tts_tpu.data.native_loader")
+        if not (nl.available() and nl.opus_available()):
+            pytest.skip("libopus not available")
+        paths = []
+        for i in range(4):
+            p = str(tmp_path / f"u{i}.opus")
+            nl.encode_opus(p, self._sine(0.3 + 0.1 * i), 24000)
+            paths.append(p)
+        loader = nl.NativeLoader(paths, sample_rate=24000, batch_size=2,
+                                 buckets=[24000], workers=2, shuffle=False)
+        batches = list(loader)
+        assert len(batches) == 2
+        for b in batches:
+            assert b["audio"].shape == (2, 1, 24000)
+            assert b["padding_mask"].sum() > 0
