@@ -114,8 +114,12 @@ def main():
         from ditto_tts_tpu.models import s2t as s2t_mod
         from ditto_tts_tpu.text.s2t_tokenizer import S2TTokenizer
         s2t_cfg = s2t_mod.s2t_medium_config()
-        s2t_params = s2t_mod.import_hf_state_dict(
-            load_state_dict(args.s2t), s2t_cfg)
+        if args.s2t == "random":
+            print("[warn] --s2t random: random ASR weights (smoke only)")
+            s2t_params = s2t_mod.init_s2t(keys[5], s2t_cfg)
+        else:
+            s2t_params = s2t_mod.import_hf_state_dict(
+                load_state_dict(args.s2t), s2t_cfg)
         if args.s2t_vocab:
             s2t_tok = S2TTokenizer.from_file(args.s2t_vocab)
         else:
