@@ -20,12 +20,12 @@ so the whole op is ~24 shifted multiply-adds + one sin^2 per element —
 pure VPU work with static shifts, no relayouts.
 
 Halo handling: the time axis is tiled in [ROWS, TB] blocks; each program
-receives three VMEM views of the (block-padded) input — previous, current,
-and next block — via three BlockSpecs on the same array, and assembles the
-haloed window with two small concats. This rides the standard Mosaic
-pipeline (automatic double-buffering, no manual DMA), at the cost of
-reading the input ~3x; the op stays strongly bandwidth-bound and ~30x
-faster than the composed path on chip.
+receives the current block plus one 128-lane halo block holding the P
+samples on each side, gathered into a SEPARATE array by the wrapper. Round
+1 passed three aliased BlockSpec views of one array instead, which hung
+the tunneled single-chip backend nondeterministically — distinct operands
+keep the standard Mosaic pipeline (automatic double-buffering, no manual
+DMA) on the well-trodden path.
 
 Edge semantics: the wrapper replicate-pads x; within 3 samples of the
 sequence ends this differs slightly from the composed path (which
@@ -62,7 +62,7 @@ def _phase_filters(ratio: int = 2, kernel_size: int = 12):
     return he, ho, ge, go
 
 
-def _kernel(prev_ref, cur_ref, next_ref, alpha_ref, beta_ref, out_ref, *,
+def _kernel(cur_ref, halo_ref, alpha_ref, beta_ref, out_ref, *,
             tb: int, logscale: bool, has_beta: bool):
     a = alpha_ref[...]                      # [ROWS, 1]
     b = beta_ref[...] if has_beta else a
@@ -71,9 +71,11 @@ def _kernel(prev_ref, cur_ref, next_ref, alpha_ref, beta_ref, out_ref, *,
         b = jnp.exp(b)
     inv_b = 1.0 / (b + _EPS)
 
-    # haloed window: last P of prev ++ cur ++ first P of next
+    # haloed window: left halo ++ cur ++ right halo (halo block lanes:
+    # [0:P] = left halo, [P:2P] = right halo, rest padding)
+    halo = halo_ref[...]
     x = jnp.concatenate(
-        [prev_ref[:, tb - _P:], cur_ref[...], next_ref[:, :_P]], axis=1)
+        [halo[:, :_P], cur_ref[...], halo[:, _P:2 * _P]], axis=1)
 
     he, ho, ge, go = _phase_filters()
     n = tb + 8  # e/o length: u in [t0-4, t0+tb+4)
@@ -119,13 +121,22 @@ def fused_snake_pallas(x, alpha, beta=None, *, logscale: bool = True,
     nt = t_pad // block_t
 
     xf = x.reshape(bc, t)
-    # replicate pad: one full guard block each side (halo source) + right
-    # padding up to a block multiple
-    left = jnp.repeat(xf[:, :1], block_t, axis=1)
-    right = jnp.repeat(xf[:, -1:], t_pad - t + block_t, axis=1)
-    xf = jnp.concatenate([left, xf, right], axis=1)
-    xf = jnp.pad(xf, ((0, bc_pad - bc), (0, 0)))
-    # xf: [bc_pad, (nt + 2) * block_t]; data block i lives at block i+1
+    # replicate pad P samples each side + right padding to a block multiple
+    left = jnp.repeat(xf[:, :1], _P, axis=1)
+    right = jnp.repeat(xf[:, -1:], t_pad - t + _P, axis=1)
+    xg = jnp.concatenate([left, xf, right], axis=1)   # [bc, t_pad + 2P]
+    xg = jnp.pad(xg, ((0, bc_pad - bc), (0, 0)))
+    # per-block halo array: lanes [0:P] = P samples left of the block,
+    # [P:2P] = P samples right of it; one 128-lane block per (b, i)
+    halo_blocks = []
+    for i in range(nt):
+        lh = xg[:, i * block_t:i * block_t + _P]
+        rh = xg[:, i * block_t + _P + block_t:
+                i * block_t + 2 * _P + block_t]
+        halo_blocks.append(jnp.pad(jnp.concatenate([lh, rh], axis=1),
+                                   ((0, 0), (0, 128 - 2 * _P))))
+    halos = jnp.concatenate(halo_blocks, axis=1)      # [bc_pad, nt * 128]
+    xc = xg[:, _P:_P + t_pad]                         # data blocks
 
     al = jnp.tile(alpha, (bsz,))
     al = jnp.pad(al, (0, bc_pad - bc)).reshape(bc_pad, 1)
@@ -140,14 +151,13 @@ def fused_snake_pallas(x, alpha, beta=None, *, logscale: bool = True,
                           has_beta=has_beta),
         grid=(bc_pad // _ROWS, nt),
         in_specs=[
-            pl.BlockSpec((_ROWS, block_t), lambda b, i: (b, i)),      # prev
-            pl.BlockSpec((_ROWS, block_t), lambda b, i: (b, i + 1)),  # cur
-            pl.BlockSpec((_ROWS, block_t), lambda b, i: (b, i + 2)),  # next
+            pl.BlockSpec((_ROWS, block_t), lambda b, i: (b, i)),  # cur
+            pl.BlockSpec((_ROWS, 128), lambda b, i: (b, i)),      # halos
             pl.BlockSpec((_ROWS, 1), lambda b, i: (b, 0)),
             pl.BlockSpec((_ROWS, 1), lambda b, i: (b, 0)),
         ],
         out_specs=pl.BlockSpec((_ROWS, block_t), lambda b, i: (b, i)),
         out_shape=jax.ShapeDtypeStruct((bc_pad, t_pad), x.dtype),
         interpret=interpret,
-    )(xf, xf, xf, al, be)
+    )(xc, halos, al, be)
     return out[:bc, :t].reshape(bsz, ch, t)

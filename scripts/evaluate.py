@@ -50,6 +50,9 @@ def main():
     p.add_argument("--bigvgan", default=None)
     p.add_argument("--ditto", default=None)
     p.add_argument("--nac", default=None)
+    p.add_argument("--ecapa", default=None,
+                   help="speechbrain ECAPA weights for SIM-o/SIM-r; "
+                        "'random' for a smoke run")
     p.add_argument("--s2t-vocab", default=None,
                    help="Speech2Text vocab.json for transcript decoding; "
                         "omitted -> structurally-valid placeholder vocab")
@@ -131,6 +134,17 @@ def main():
         forced_bos = s2t_tok.lang_code_to_id[args.s2t_lang]
         print(f"[eval] s2t ASR loaded; <lang:{args.s2t_lang}> id "
               f"{forced_bos}")
+
+    ecapa_params = ecapa_cfg = None
+    if args.ecapa:
+        from ditto_tts_tpu.models import ecapa as ecapa_mod
+        ecapa_cfg = ecapa_mod.ECAPAConfig()
+        if args.ecapa == "random":
+            print("[warn] --ecapa random: random speaker-embedding weights")
+            ecapa_params = ecapa_mod.init_ecapa(keys[6], ecapa_cfg)
+        else:
+            ecapa_params = ecapa_mod.import_speechbrain_state_dict(
+                load_state_dict(args.ecapa), ecapa_cfg)
     tok = GPT2Tokenizer(args.gpt2_vocab, args.gpt2_merges)
 
     ds = MLSDataset(args.data_path, tok, cfg.dit.max_token_length,
@@ -138,6 +152,16 @@ def main():
     fn = jax.jit(build_synthesize(cfg))
 
     refs, hyps, mel_maes = [], [], []
+    sim_o, sim_r = [], []
+
+    def _embed(wav24, n):
+        """24 kHz waveform -> ECAPA embedding (resample to 16 kHz fbank)."""
+        from ditto_tts_tpu.models import s2t as s2t_mod
+        wav16 = np.interp(np.arange(0, n, 1.5), np.arange(n), wav24[:n])
+        fb = s2t_mod.log_mel_fbank(wav16.astype(np.float32), 16000)[None]
+        from ditto_tts_tpu.models.ecapa import ecapa_embed
+        return np.asarray(ecapa_embed(ecapa_params, ecapa_cfg,
+                                      jnp.asarray(fb)))[0]
     for bi, batch in enumerate(batches(ds, args.batch_size,
                                        buckets=default_buckets(),
                                        shuffle=False)):
@@ -156,6 +180,21 @@ def main():
                                                  batch["text_mask"][r])
                                if m])
             refs.append(text)
+            if ecapa_params is not None:
+                # SIM-o: generated vs original prompt; SIM-r: generated vs
+                # codec reconstruction (ref: Experiments.ipynb cells 13-15)
+                from ditto_tts_tpu.codec import encodec as codec_mod
+                from ditto_tts_tpu.eval.metrics import cosine_similarity
+                orig = np.asarray(batch["audio"][r, 0])
+                codes = codec_mod.codec_encode(
+                    params.codec, cfg.codec,
+                    jnp.asarray(batch["audio"][r:r + 1]),
+                    jnp.asarray(batch["padding_mask"][r:r + 1]))
+                recon = np.asarray(codec_mod.codec_decode(
+                    params.codec, cfg.codec, codes, output_length=n))[0, 0]
+                e_gen = _embed(wav[r], n)
+                sim_o.append(cosine_similarity(e_gen, _embed(orig, n)))
+                sim_r.append(cosine_similarity(e_gen, _embed(recon, n)))
             if args.s2t:
                 from ditto_tts_tpu.models import s2t as s2t_mod
                 wav16 = np.interp(
@@ -173,6 +212,9 @@ def main():
     if hyps:
         results["cer"] = cer(refs, hyps)
         results["wer"] = wer(refs, hyps)
+    if sim_o:
+        results["sim_o"] = float(np.mean(sim_o))
+        results["sim_r"] = float(np.mean(sim_r))
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
