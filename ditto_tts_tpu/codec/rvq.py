@@ -27,17 +27,34 @@ import jax
 import jax.numpy as jnp
 
 
-def nearest_codebook_indices(x, codebook):
-    """x: [..., D]; codebook: [K, D] -> int32 indices [...]."""
+def nearest_codebook_indices(x, codebook, *, ref_exact: bool = False):
+    """x: [..., D]; codebook: [K, D] -> int32 indices [...].
+
+    Default: argmin_k ||x - c_k||^2 == argmax_k (2 x.c_k - ||c_k||^2) — one
+    matmul, no ||x||^2 term (it is constant per row).
+
+    ``ref_exact`` reproduces the reference's distance expression
+    (ref: src/components/VectorQuantizer.py:34-41) term-for-term:
+    ``(||x||^2 - 2 x@C^T) + ||c||^2`` with argmin. The two are equal in
+    exact arithmetic but round differently: at degenerate latent scale
+    (||x||^2 ~ 1e10) the reference formula crushes fp32 resolution of each
+    row to ~ulp(||x||^2), so matching its argmin requires matching its
+    rounding, not just its math.
+    """
     flat = x.reshape(-1, x.shape[-1])
-    # argmin_k ||x - c_k||^2 == argmax_k (2 x.c_k - ||c_k||^2)
     dots = jax.lax.dot_general(
         flat, codebook,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     c2 = jnp.sum(jnp.square(codebook.astype(jnp.float32)), axis=-1)
-    scores = 2.0 * dots - c2[None, :]
-    idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    if ref_exact:
+        x2 = jnp.sum(jnp.square(flat.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+        dist = (x2 - 2.0 * dots) + c2[None, :]
+        idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    else:
+        scores = 2.0 * dots - c2[None, :]
+        idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
     return idx.reshape(x.shape[:-1])
 
 
@@ -84,13 +101,16 @@ def init_vector_quantizer(key, codebook_size: int, latent_dim: int,
         key, (codebook_size, latent_dim), dtype, -bound, bound)}
 
 
-def vq_indices(params, latents):
+def vq_indices(params, latents, *, ref_exact: bool = False):
     """L2-argmin codebook indices; latents [..., D] -> [...] int32.
 
     Matches the reference forward exactly (VectorQuantizer.py:22-43):
-    indices only, no gradient path (quirk #4).
+    indices only, no gradient path (quirk #4). ``ref_exact`` additionally
+    matches the reference's fp32 distance *rounding* (see
+    :func:`nearest_codebook_indices`).
     """
-    return nearest_codebook_indices(latents, params["codebook"])
+    return nearest_codebook_indices(latents, params["codebook"],
+                                    ref_exact=ref_exact)
 
 
 def vq_straight_through(params, latents, *, commitment_cost: float = 0.25):

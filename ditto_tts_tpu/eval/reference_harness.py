@@ -225,9 +225,54 @@ def _attach_captures(gen, caps: Dict) -> None:
     gen.vocoder.forward = voc_wrap
 
 
+def train_reference_ditto(ditto, *, steps: int, batch: int, frames: int,
+                          seed: int, log_every: int = 100) -> None:
+    """Train the reference DiTTO in-place with the reference's own training
+    semantics (ref: src/TrainDiTTO.py:55-95: t ~ U[0, T), buggy
+    ``q_sample`` noising — quirk #1 — and MSE(noise_pred, noise)) on
+    synthetic unit-scale latents/text embeddings.
+
+    Purpose: the *tamed-weights* parity leg. With random weights the DDPM
+    sampler amplifies latents to ~1e5 scale, where the reference's fp32 VQ
+    distance resolution degenerates (see PARITY notes); a few hundred
+    training steps give the denoiser enough drift-cancellation that refined
+    latents stay at data scale, making the downstream VQ/codec/vocoder
+    chain deterministic enough for an allclose comparison.
+
+    Draws from a local ``torch.Generator`` so the global RNG stream the
+    parity noise-recording relies on is untouched.
+    """
+    import torch
+
+    g = torch.Generator()
+    g.manual_seed(seed)
+    T = len(ditto.alphas_cumprod)
+    hidden = ditto.proj_in.in_features
+    opt = torch.optim.AdamW(
+        [p for p in ditto.parameters() if p.requires_grad], lr=1e-4)
+    crit = torch.nn.MSELoss()
+    ditto.train()
+    for step in range(steps):
+        latents = torch.randn(batch, frames, hidden, generator=g)
+        text_emb = torch.randn(batch, frames, hidden, generator=g)
+        t = torch.randint(0, T, (batch,), generator=g).long()
+        noise = torch.randn(batch, frames, hidden, generator=g)
+        noisy = ditto.q_sample(latents, t, noise)
+        loss = crit(ditto(noisy, text_emb, t), noise)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if log_every and (step % log_every == 0 or step == steps - 1):
+            print(f"  [train_reference_ditto] step {step}: "
+                  f"loss {loss.item():.4f}", flush=True)
+    ditto.eval()
+
+
 @contextlib.contextmanager
 def reference_session(pcfg: PipelineConfig, *, seed: int = 1234,
-                      byt5_layers: int = 2):
+                      byt5_layers: int = 2,
+                      ditto_train: Optional[Dict] = None,
+                      ditto_state_cache: Optional[Dict] = None):
     """Build the full reference ``SpeechGenerator`` stack (seeded random
     weights, checkpoints round-tripped through .pth files exactly as the
     reference loads them) and yield ``(gen, caps)``.
@@ -236,6 +281,13 @@ def reference_session(pcfg: PipelineConfig, *, seed: int = 1234,
     the vocoder config used by the BigVGAN stand-in; the reference's static
     ``ConfigDiTTO``/``ConfigSLP`` attributes are mutated to match for the
     session and restored on exit.
+
+    ``ditto_train``: optional ``{"steps", "batch", "frames", "seed"}`` —
+    train the DiTTO via :func:`train_reference_ditto` before checkpointing
+    (the tamed-weights parity leg). ``ditto_state_cache``: a mutable dict;
+    if it holds ``"state"``, that state_dict replaces init/training; else
+    the post-training state_dict is stored there (so two legs share one
+    training run).
     """
     import torch
     from . import torch_bigvgan as tb
@@ -279,6 +331,14 @@ def reference_session(pcfg: PipelineConfig, *, seed: int = 1234,
                 text_dim=ConfigDiTTO.TEXT_EMBED_DIM,
                 diffusion_steps=pcfg.dit.diffusion_steps,
                 lambda_factor=0.1, nac_model_path=nac_path)
+            if ditto_state_cache is not None and "state" in ditto_state_cache:
+                ditto.load_state_dict(ditto_state_cache["state"])
+            elif ditto_train is not None:
+                train_reference_ditto(ditto, **ditto_train)
+                if ditto_state_cache is not None:
+                    ditto_state_cache["state"] = {
+                        k: v.detach().clone()
+                        for k, v in ditto.state_dict().items()}
             torch.save({"model_state_dict": ditto.state_dict()}, ditto_path)
             del ditto
 

@@ -67,12 +67,14 @@ def encode_prompt_latents(params: GeneratorParams, cfg: PipelineConfig,
 
 
 def latents_to_waveform(params: GeneratorParams, cfg: PipelineConfig,
-                        latents, output_length: int):
+                        latents, output_length: int, *,
+                        ref_exact_vq: bool = False):
     """Refined latents [B, T, 768] -> BigVGAN waveform [B, L']
     (ref: SpeechGenerator.py:114-128 — including the double vocoding,
     quirk #9: codec decode to audio, re-analyze to mel, re-render)."""
     stacked = jnp.repeat(latents[:, None], 2, axis=1)     # quirk #8 inverse
-    indices = rvq_mod.vq_indices(params.vector_quantizer, stacked)
+    indices = rvq_mod.vq_indices(params.vector_quantizer, stacked,
+                                 ref_exact=ref_exact_vq)
     wav = codec_mod.codec_decode(params.codec, cfg.codec, indices,
                                  output_length=output_length)
     mel = _mel(cfg, wav[:, 0])
@@ -127,7 +129,8 @@ def build_synthesize(cfg: PipelineConfig, *, num_steps: Optional[int] = None,
             refined = ddpm_sample(model_fn, k_samp, x_init, schedule, taus)
 
         return latents_to_waveform(params, cfg, refined,
-                                   output_length=audio.shape[-1])
+                                   output_length=audio.shape[-1],
+                                   ref_exact_vq=compat)
 
     return synthesize
 
@@ -211,7 +214,8 @@ def build_synthesize_recorded(cfg: PipelineConfig, *,
                               taus, noise_seq=step_noise)
 
         stacked = jnp.repeat(refined[:, None], 2, axis=1)  # quirk #8 inverse
-        indices = rvq_mod.vq_indices(params.vector_quantizer, stacked)
+        indices = rvq_mod.vq_indices(params.vector_quantizer, stacked,
+                                     ref_exact=compat)
         wav = codec_mod.codec_decode(params.codec, cfg.codec, indices,
                                      output_length=audio.shape[-1])
         mel = _mel(cfg, wav[:, 0])
