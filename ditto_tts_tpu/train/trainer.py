@@ -67,7 +67,7 @@ class Trainer:
                           f"at epoch {start_epoch}")
 
         best_loss = float("inf")
-        best_state = state
+        best_path = None
         log_f = open(log_path, "a") if log_path else None
         try:
             for epoch in range(start_epoch, epochs):
@@ -101,8 +101,11 @@ class Trainer:
 
                 vloss = val_metrics.get("loss")
                 if vloss is not None and vloss < best_loss:
+                    # best state lives on disk, not as a second in-memory
+                    # copy of the full train state (device memory)
                     best_loss = vloss
-                    best_state = state
+                    best_path = self._save(checkpoint_dir, model_name,
+                                           "best", state)
 
                 if (epoch + 1) % checkpoint_interval == 0:
                     self._save(checkpoint_dir, model_name, epoch + 1, state)
@@ -110,14 +113,19 @@ class Trainer:
             if log_f:
                 log_f.close()
 
-        final = best_state if best_loss < float("inf") else state
+        final = state if best_path is None else \
+            restore_into(state, best_path)
         self._save(checkpoint_dir, model_name, "final", final)
         return final, self.history
 
     # ------------------------------------------------------------------
 
     def _run_epoch(self, state, frozen, batches, key, *, train: bool):
-        sums: Dict[str, float] = {}
+        # Metric sums accumulate as DEVICE scalars — no float()/host sync
+        # inside the batch loop (a per-step device->host round-trip would
+        # serialize the async dispatch stream and throttle TPU training);
+        # one transfer happens at epoch end.
+        sums: Optional[Dict] = None
         count = 0
         for batch in batches:
             key, k_step = jax.random.split(key)
@@ -126,10 +134,11 @@ class Trainer:
             else:
                 metrics = self.eval_fn(state, frozen, batch, k_step)
             count += 1
-            for name, v in metrics.items():
-                sums[name] = sums.get(name, 0.0) + float(v)
-        avg = {k: v / max(count, 1) for k, v in sums.items()}
-        return state, avg
+            sums = metrics if sums is None else jax.tree.map(
+                lambda a, b: a + b, sums, metrics)
+        if sums is None:
+            return state, {}
+        return state, {k: float(v) / count for k, v in sums.items()}
 
     def _save(self, checkpoint_dir, model_name, epoch, state):
         tag = epoch if isinstance(epoch, str) else f"epoch_{epoch}"
@@ -137,6 +146,7 @@ class Trainer:
         meta = {"epoch": epoch if isinstance(epoch, int) else None,
                 "history": _jsonable(self.history)}
         save_checkpoint(path, state, metadata=meta)
+        return path
 
     def _load(self, path, like_state):
         # path-keyed restore: every stored array goes to the template leaf
