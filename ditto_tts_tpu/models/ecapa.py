@@ -126,14 +126,17 @@ def _asp(p, cfg: ECAPAConfig, x, mask=None):
     ctx = jnp.concatenate(
         [x, jnp.broadcast_to(gmean[..., None], x.shape),
          jnp.broadcast_to(gstd[..., None], x.shape)], axis=1)
-    a = jnp.tanh(_bn(p["tdnn_norm"], _conv1d_same(
-        ctx, p["tdnn_conv"]["weight"], p["tdnn_conv"].get("bias"))))
+    # attention MLP is a full TDNNBlock (conv -> ReLU -> BN) then tanh
+    # (speechbrain AttentiveStatisticsPooling.tdnn), then the score conv
+    a = jnp.tanh(_bn(p["tdnn_norm"], jax.nn.relu(_conv1d_same(
+        ctx, p["tdnn_conv"]["weight"], p["tdnn_conv"].get("bias")))))
     a = _conv1d_same(a, p["conv"]["weight"], p["conv"].get("bias"))
-    a = jnp.where(m[:, None, :] > 0, a, -1e30)
+    a = jnp.where(m[:, None, :] > 0, a, -jnp.inf)
     w = jax.nn.softmax(a, axis=2)
     mean = jnp.sum(x * w, axis=2)
+    # weighted E[(x-mean)^2] like speechbrain's _compute_statistics
     std = jnp.sqrt(jnp.clip(
-        jnp.sum((x ** 2) * w, axis=2) - mean ** 2, 1e-12))
+        jnp.sum((x - mean[..., None]) ** 2 * w, axis=2), 1e-12))
     return jnp.concatenate([mean, std], axis=1)
 
 
@@ -146,8 +149,8 @@ def ecapa_embed(params, cfg: ECAPAConfig, features, mask=None):
         x = _se_res2net_block(params["blocks"][i], cfg, x, dil, mask)
         outs.append(x)
     x = jnp.concatenate(outs, axis=1)
-    x = jax.nn.relu(_conv1d_same(x, params["mfa"]["weight"],
-                                 params["mfa"].get("bias")))
+    # MFA is a full TDNNBlock (conv -> ReLU -> BN), speechbrain ECAPA_TDNN.mfa
+    x = _tdnn(params["mfa"], x)
     pooled = _asp(params["asp"], cfg, x, mask)
     pooled = _bn(params["asp_norm"], pooled[..., None])[..., 0]
     emb = _conv1d_same(pooled[..., None], params["fc"]["weight"],
@@ -187,7 +190,7 @@ def init_ecapa(key, cfg: ECAPAConfig, dtype=jnp.float32) -> Dict:
     return {
         "block0": tdnn(c, cfg.input_features, cfg.kernel),
         "blocks": blocks,
-        "mfa": conv(cfg.out_channels, 3 * c, 1),
+        "mfa": tdnn(cfg.out_channels, 3 * c, 1),
         "asp": {"tdnn_conv": conv(cfg.attention_channels,
                                   3 * cfg.out_channels, 1),
                 "tdnn_norm": bn(cfg.attention_channels),
@@ -241,7 +244,7 @@ def import_speechbrain_state_dict(sd: Dict[str, np.ndarray],
     return {
         "block0": tdnn("blocks.0"),
         "blocks": blocks,
-        "mfa": conv("mfa"),
+        "mfa": tdnn("mfa"),
         "asp": {"tdnn_conv": conv("asp.tdnn.conv"),
                 "tdnn_norm": bn("asp.tdnn.norm"),
                 "conv": conv("asp.conv")},

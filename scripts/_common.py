@@ -54,6 +54,19 @@ def load_gpt2(path, key, cfg=None):
     return gpt2_mod.init_gpt2(key, cfg), cfg
 
 
+def gpt2_tokenizer(args):
+    """Real GPT2 BPE when --gpt2-vocab/--gpt2-merges are given; otherwise
+    the vendored byte-level mini fixture (runs out of the box, ids are NOT
+    the real gpt2 mapping)."""
+    from ditto_tts_tpu.text.tokenizers import GPT2Tokenizer
+    if getattr(args, "gpt2_vocab", None):
+        return GPT2Tokenizer(args.gpt2_vocab, args.gpt2_merges)
+    from ditto_tts_tpu import assets
+    print("[warn] --gpt2-vocab not given: vendored byte-level mini vocab "
+          "(valid BPE, not the real gpt2 id mapping)")
+    return assets.gpt2_mini_tokenizer()
+
+
 def load_byt5(path, key, cfg=None):
     from ditto_tts_tpu.text import byt5 as byt5_mod
     cfg = cfg or byt5_mod.byt5_small_config()

@@ -30,7 +30,7 @@ from ditto_tts_tpu.core.config import DiTConfig, PipelineConfig, SamplerConfig
 from ditto_tts_tpu.data.mls import MLSDataset, batches, default_buckets
 from ditto_tts_tpu.eval.metrics import cer, mel_mae, wer
 from ditto_tts_tpu.infer.generator import GeneratorParams, build_synthesize
-from ditto_tts_tpu.text.tokenizers import GPT2Tokenizer
+from _common import gpt2_tokenizer
 from ditto_tts_tpu.train.checkpoint import load_checkpoint
 from ditto_tts_tpu.utils.weights import load_state_dict
 
@@ -45,8 +45,8 @@ def main():
     p.add_argument("--out", default="eval_results.json")
     p.add_argument("--encodec", default=None)
     p.add_argument("--gpt2", default=None)
-    p.add_argument("--gpt2-vocab", required=True)
-    p.add_argument("--gpt2-merges", required=True)
+    p.add_argument("--gpt2-vocab", default=None)
+    p.add_argument("--gpt2-merges", default=None)
     p.add_argument("--bigvgan", default=None)
     p.add_argument("--ditto", default=None)
     p.add_argument("--nac", default=None)
@@ -145,7 +145,7 @@ def main():
         else:
             ecapa_params = ecapa_mod.import_speechbrain_state_dict(
                 load_state_dict(args.ecapa), ecapa_cfg)
-    tok = GPT2Tokenizer(args.gpt2_vocab, args.gpt2_merges)
+    tok = gpt2_tokenizer(args)
 
     ds = MLSDataset(args.data_path, tok, cfg.dit.max_token_length,
                     tokenizer_name="gpt2")

@@ -30,7 +30,7 @@ from ditto_tts_tpu.models import nac as nac_mod
 from ditto_tts_tpu.models import vocoder as voc_mod
 from ditto_tts_tpu.codec import encodec as codec_mod
 from ditto_tts_tpu.text import gpt2 as gpt2_mod
-from ditto_tts_tpu.text.tokenizers import GPT2Tokenizer
+from _common import gpt2_tokenizer
 from ditto_tts_tpu.train.checkpoint import load_checkpoint
 from ditto_tts_tpu.utils.weights import load_state_dict
 
@@ -47,8 +47,8 @@ def main():
     p.add_argument("--ref-config", action="store_true")
     p.add_argument("--encodec", default=None)
     p.add_argument("--gpt2", default=None)
-    p.add_argument("--gpt2-vocab", required=True)
-    p.add_argument("--gpt2-merges", required=True)
+    p.add_argument("--gpt2-vocab", default=None)
+    p.add_argument("--gpt2-merges", default=None)
     p.add_argument("--bigvgan", default=None)
     p.add_argument("--ditto", default=None, help="DiTTO .npz checkpoint")
     p.add_argument("--nac", default=None, help="NAC .npz checkpoint")
@@ -105,7 +105,7 @@ def main():
     wav_in = decode_audio(args.audio, cfg.audio.sample_rate)
     audio = jnp.asarray(wav_in)[None, None, :]
     mask = jnp.ones((1, len(wav_in)), jnp.int32)
-    tok = GPT2Tokenizer(args.gpt2_vocab, args.gpt2_merges)
+    tok = gpt2_tokenizer(args)
     text_ids = jnp.asarray(tok(args.text, padding="longest")["input_ids"])
 
     fn = jax.jit(build_synthesize(cfg, cond_by_audio=args.cond_by_audio))

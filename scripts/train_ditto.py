@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import argparse
 
-from _common import add_common_args, load_codec, load_gpt2
+from _common import add_common_args, gpt2_tokenizer, load_codec, load_gpt2
 
 import jax
 
@@ -59,12 +59,7 @@ def main():
     frozen = {"codec": codec_params, "gpt2": gpt2_params,
               "embedding_head": nac_trainable["embedding_head"]}
 
-    tokenizer = (GPT2Tokenizer(args.gpt2_vocab, args.gpt2_merges)
-                 if args.gpt2_vocab else None)
-    if tokenizer is None:
-        raise SystemExit("--gpt2-vocab/--gpt2-merges required "
-                         "(GPT2 BPE files; ref MLS.py uses the gpt2 "
-                         "tokenizer for DiTTO training)")
+    tokenizer = gpt2_tokenizer(args)
 
     batch_size = args.batch_size or dit_cfg.batch_size
     buckets = default_buckets()

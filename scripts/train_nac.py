@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import argparse
 
-from _common import add_common_args, load_codec, load_gpt2
+from _common import add_common_args, gpt2_tokenizer, load_codec, load_gpt2
 
 import jax
 
@@ -26,8 +26,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--gpt2", default=None)
-    p.add_argument("--gpt2-vocab", required=True)
-    p.add_argument("--gpt2-merges", required=True)
+    p.add_argument("--gpt2-vocab", default=None)
+    p.add_argument("--gpt2-merges", default=None)
     p.add_argument("--lambda-factor", type=float, default=0.1)
     p.add_argument("--ref-compat", action="store_true",
                    help="reference VQ semantics (argmin only, no STE)")
@@ -39,7 +39,7 @@ def main():
     gpt2_params, gpt2_cfg = load_gpt2(args.gpt2, keys[1])
     frozen = {"codec": codec_params, "gpt2": gpt2_params}
 
-    tokenizer = GPT2Tokenizer(args.gpt2_vocab, args.gpt2_merges)
+    tokenizer = gpt2_tokenizer(args)
     batch_size = args.batch_size or nac_cfg.batch_size
     buckets = default_buckets()
 
