@@ -50,7 +50,8 @@ class Trainer:
             learning_rate: Optional[float] = None,
             checkpoint_dir: str = "checkpoints",
             checkpoint_interval: int = 5, resume: bool = True,
-            log_path: Optional[str] = None, verbose: bool = True):
+            log_path: Optional[str] = None, verbose: bool = True,
+            shard_state: Optional[Callable] = None):
         self.history["params"].update(
             {"lr": learning_rate, "epochs": epochs, "model_name": model_name})
 
@@ -59,6 +60,10 @@ class Trainer:
             ckpt = latest_checkpoint(checkpoint_dir, prefix=model_name)
             if ckpt is not None:
                 state, meta = self._load(ckpt, state)
+                if shard_state is not None:
+                    # restore_into yields host arrays; re-place them with
+                    # the caller's mesh shardings (TP/DP training)
+                    state = shard_state(state)
                 if meta:
                     start_epoch = int(meta.get("epoch", 0))
                     self.history = meta.get("history", self.history)
@@ -115,6 +120,8 @@ class Trainer:
 
         final = state if best_path is None else \
             restore_into(state, best_path)
+        if best_path is not None and shard_state is not None:
+            final = shard_state(final)
         self._save(checkpoint_dir, model_name, "final", final)
         return final, self.history
 
