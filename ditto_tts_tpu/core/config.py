@@ -195,6 +195,11 @@ class SamplerConfig(_JsonMixin):
     num_steps: int = 50                # north-star metric path; ref ran 1000
     kind: str = "ddpm"                 # "ddpm" | "ddim"
     ddim_eta: float = 0.0
+    # clamp the implied x0_hat to [-c, c] each reverse step (standard DDPM
+    # stabilizer the reference lacks; None = exact reference semantics).
+    # Residual eps error is otherwise amplified ~1/sqrt(alpha_t) (~100x)
+    # at the first reverse steps of the clipped cosine schedule.
+    clip_denoised: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

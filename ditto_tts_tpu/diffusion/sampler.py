@@ -55,6 +55,18 @@ def _respaced_coeffs(schedule: NoiseSchedule, timesteps: np.ndarray):
     return taus, abar, abar_prev, beta, alpha
 
 
+def _clip_eps(x, eps, abar_t, clip: float):
+    """Clamp the implied denoised sample x0_hat to [-clip, clip] and return
+    the equivalent eps (standard DDPM 'clip_denoised' stabilizer, Ho et al.
+    2020 §3.3 — the reference sampler has no counterpart, so residual
+    eps-prediction error is amplified by 1/sqrt(alpha_t) ~ 100x at the
+    first reverse steps and trajectories leave the data manifold; see
+    SpeechGenerator.py:130-147)."""
+    x0_hat = (x - jnp.sqrt(1.0 - abar_t) * eps) / jnp.sqrt(abar_t)
+    x0_hat = jnp.clip(x0_hat, -clip, clip)
+    return (x - jnp.sqrt(abar_t) * x0_hat) / jnp.sqrt(1.0 - abar_t)
+
+
 def ddpm_sample(
     model_fn: Callable,
     key: jax.Array,
@@ -62,12 +74,15 @@ def ddpm_sample(
     schedule: NoiseSchedule,
     timesteps: np.ndarray,
     noise_seq: Optional[jnp.ndarray] = None,
+    clip_denoised: Optional[float] = None,
 ):
     """DDPM ancestral sampling.
 
     model_fn(x, t) -> eps_hat with t: [B] int32 (original timestep index).
     x_init: [B, ...] starting noise (or noised prompt latents).
     noise_seq: optional [K, B, ...] pre-drawn noise for bit-matching.
+    clip_denoised: optional bound on the implied x0_hat per step (see
+    ``_clip_eps``); None reproduces the reference exactly.
     """
     taus, abar, _, beta, alpha = _respaced_coeffs(schedule, timesteps)
     batch = x_init.shape[0]
@@ -77,6 +92,8 @@ def ddpm_sample(
         i, t, abar_t, beta_t, alpha_t = inp
         t_vec = jnp.full((batch,), t, jnp.int32)
         eps = model_fn(x, t_vec)
+        if clip_denoised is not None:
+            eps = _clip_eps(x, eps, abar_t, clip_denoised)
         mean = (x - (1.0 - alpha_t) / jnp.sqrt(1.0 - abar_t) * eps) \
             / jnp.sqrt(alpha_t)
         if noise_seq is None:
@@ -99,6 +116,7 @@ def ddim_sample(
     schedule: NoiseSchedule,
     timesteps: np.ndarray,
     eta: float = 0.0,
+    clip_denoised: Optional[float] = None,
 ):
     """DDIM sampling (deterministic at eta=0) on a respaced schedule."""
     taus, abar, abar_prev, _, _ = _respaced_coeffs(schedule, timesteps)
@@ -110,6 +128,9 @@ def ddim_sample(
         t_vec = jnp.full((batch,), t, jnp.int32)
         eps = model_fn(x, t_vec)
         x0 = (x - jnp.sqrt(1.0 - abar_t) * eps) / jnp.sqrt(abar_t)
+        if clip_denoised is not None:
+            x0 = jnp.clip(x0, -clip_denoised, clip_denoised)
+            eps = (x - jnp.sqrt(abar_t) * x0) / jnp.sqrt(1.0 - abar_t)
         sigma = eta * jnp.sqrt((1.0 - abar_p) / (1.0 - abar_t)) \
             * jnp.sqrt(1.0 - abar_t / abar_p)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - abar_p - sigma ** 2, 0.0)) * eps

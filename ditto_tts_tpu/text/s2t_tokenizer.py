@@ -87,6 +87,12 @@ class S2TTokenizer:
     def decode(self, ids: Sequence[int], *,
                skip_special_tokens: bool = True) -> str:
         ids = [int(i) for i in ids]
+        # generated sequences START with the decoder-start token, which for
+        # S2T is </s> (HF Speech2TextConfig.decoder_start_token_id == eos);
+        # drop it before the stop-at-first-EOS truncation or every decode
+        # would truncate to the empty string
+        if ids and ids[0] == self.eos_token_id:
+            ids = ids[1:]
         if self.eos_token_id in ids:  # stop at the first EOS like generate()
             ids = ids[:ids.index(self.eos_token_id) + 1]
         tokens = [self.id_to_token.get(i, "<unk>") for i in ids]

@@ -60,6 +60,31 @@ def main():
     p.add_argument("--s2t", default=None,
                    help="local s2t snapshot for on-TPU ASR eval")
     p.add_argument("--ref-config", action="store_true")
+    p.add_argument("--config", default=None,
+                   help="PipelineConfig JSON path (overrides --ref-config "
+                        "and the default geometry)")
+    p.add_argument("--s2t-tiny", action="store_true",
+                   help="tiny random-init ASR geometry (discrimination/"
+                        "smoke runs without the real s2t snapshot)")
+    p.add_argument("--oracle-ref", action="store_true",
+                   help="score against the pipeline's own render of the "
+                        "GROUND-TRUTH latents (VQ->codec->mel->vocoder) "
+                        "instead of the raw prompt audio: with random "
+                        "frozen models the raw waveform is unreachable by "
+                        "construction, so this isolates what generation "
+                        "quality actually controls")
+    p.add_argument("--lenient-duration", action="store_true",
+                   help="accept clips outside the 10-20 s MLS bound")
+    p.add_argument("--gpt2-config", default=None,
+                   help="GPT2Config overrides as a JSON file path or an "
+                        "inline JSON object (tiny-geometry runs)")
+    p.add_argument("--smoke-ortho", action="store_true",
+                   help="orthogonal-reinit RANDOM codec/vocoder weights "
+                        "(utils/smoke.py): default random init is "
+                        "contractive and maps every input to the same "
+                        "codes, so smoke/discrimination runs measure "
+                        "nothing without this; ignored for loaded "
+                        "checkpoints")
     args = p.parse_args()
 
     from ditto_tts_tpu.codec import encodec as codec_mod
@@ -69,10 +94,15 @@ def main():
     from ditto_tts_tpu.models import vocoder as voc_mod
     from ditto_tts_tpu.text import gpt2 as gpt2_mod
 
-    dit_cfg = (ref_trained_dit_config() if args.ref_config
-               else DiTConfig(num_layers=12, num_heads=12))
-    cfg = PipelineConfig(dit=dit_cfg,
-                         sampler=SamplerConfig(num_steps=args.steps))
+    if args.config:
+        with open(args.config) as f:
+            cfg = PipelineConfig.from_json(f.read())
+        cfg = cfg.replace(sampler=cfg.sampler.replace(num_steps=args.steps))
+    else:
+        dit_cfg = (ref_trained_dit_config() if args.ref_config
+                   else DiTConfig(num_layers=12, num_heads=12))
+        cfg = PipelineConfig(dit=dit_cfg,
+                             sampler=SamplerConfig(num_steps=args.steps))
     keys = jax.random.split(jax.random.key(args.seed), 8)
 
     def opt(loader, path, fallback, name):
@@ -81,12 +111,26 @@ def main():
         print(f"[warn] --{name} missing: random weights (smoke only)")
         return fallback()
 
+    def smoke_gain(tree):
+        if not args.smoke_ortho:
+            return tree
+        from ditto_tts_tpu.utils.smoke import orthogonal_reinit
+        return orthogonal_reinit(tree, seed=args.seed)
+
     codec_params = opt(
         lambda x: codec_mod.import_hf_state_dict(load_state_dict(x),
                                                  cfg.codec),
-        args.encodec, lambda: codec_mod.init_codec(keys[0], cfg.codec),
+        args.encodec,
+        lambda: smoke_gain(codec_mod.init_codec(keys[0], cfg.codec)),
         "encodec")
-    gpt2_cfg = gpt2_mod.GPT2Config()
+    if args.gpt2_config:
+        raw = args.gpt2_config
+        if os.path.exists(raw):
+            with open(raw) as f:
+                raw = f.read()
+        gpt2_cfg = gpt2_mod.GPT2Config(**json.loads(raw))
+    else:
+        gpt2_cfg = gpt2_mod.GPT2Config()
     gpt2_params = opt(
         lambda x: gpt2_mod.import_hf_state_dict(load_state_dict(x),
                                                 gpt2_cfg),
@@ -94,13 +138,14 @@ def main():
     voc_params = opt(
         lambda x: voc_mod.import_bigvgan_state_dict(load_state_dict(x),
                                                     cfg.vocoder),
-        args.bigvgan, lambda: voc_mod.init_bigvgan(keys[2], cfg.vocoder),
+        args.bigvgan,
+        lambda: smoke_gain(voc_mod.init_bigvgan(keys[2], cfg.vocoder)),
         "bigvgan")
     if args.ditto:
         st, _ = load_checkpoint(args.ditto)
         dit_params = st.get("params", st)
     else:
-        dit_params = dit_mod.init_ditto(keys[3], dit_cfg)
+        dit_params = dit_mod.init_ditto(keys[3], cfg.dit)
     if args.nac:
         st, _ = load_checkpoint(args.nac)
         nac_tr = st.get("params", st)
@@ -116,10 +161,19 @@ def main():
     if args.s2t:
         from ditto_tts_tpu.models import s2t as s2t_mod
         from ditto_tts_tpu.text.s2t_tokenizer import S2TTokenizer
-        s2t_cfg = s2t_mod.s2t_medium_config()
+        if args.s2t_tiny:
+            s2t_cfg = s2t_mod.S2TConfig(
+                vocab_size=200, d_model=64, encoder_layers=2,
+                decoder_layers=2, encoder_heads=4, decoder_heads=4,
+                encoder_ffn=128, decoder_ffn=128, conv_channels=64)
+        else:
+            s2t_cfg = s2t_mod.s2t_medium_config()
         if args.s2t == "random":
             print("[warn] --s2t random: random ASR weights (smoke only)")
             s2t_params = s2t_mod.init_s2t(keys[5], s2t_cfg)
+        elif args.s2t.endswith(".npz"):
+            st, _ = load_checkpoint(args.s2t)   # native-format checkpoint
+            s2t_params = st.get("params", st)
         else:
             s2t_params = s2t_mod.import_hf_state_dict(
                 load_state_dict(args.s2t), s2t_cfg)
@@ -148,8 +202,20 @@ def main():
     tok = gpt2_tokenizer(args)
 
     ds = MLSDataset(args.data_path, tok, cfg.dit.max_token_length,
-                    tokenizer_name="gpt2")
+                    tokenizer_name="gpt2",
+                    strict_duration=not args.lenient_duration)
     fn = jax.jit(build_synthesize(cfg))
+
+    oracle_fn = None
+    if args.oracle_ref:
+        from ditto_tts_tpu.infer.generator import (encode_prompt_latents,
+                                                   latents_to_waveform)
+
+        def _oracle(p, audio, mask):
+            lat = encode_prompt_latents(p, cfg, audio, mask)
+            return latents_to_waveform(p, cfg, lat,
+                                       output_length=audio.shape[-1])
+        oracle_fn = jax.jit(_oracle)
 
     refs, hyps, mel_maes = [], [], []
     sim_o, sim_r = [], []
@@ -162,9 +228,23 @@ def main():
         from ditto_tts_tpu.models.ecapa import ecapa_embed
         return np.asarray(ecapa_embed(ecapa_params, ecapa_cfg,
                                       jnp.asarray(fb)))[0]
+
+    def _asr(wav24, n):
+        from ditto_tts_tpu.models import s2t as s2t_mod
+        wav16 = np.interp(np.arange(0, n, 24000 / 16000.0),
+                          np.arange(n), wav24[:n]).astype(np.float32)
+        fb = s2t_mod.log_mel_fbank(wav16, 16000)[None]
+        ids = s2t_mod.greedy_decode(
+            s2t_params, s2t_cfg, jnp.asarray(fb),
+            jnp.ones((1, fb.shape[1]), jnp.int32),
+            forced_bos_id=forced_bos, max_len=200)
+        return s2t_tok.decode(np.asarray(ids)[0])
+
+    buckets = default_buckets(cfg.audio.sample_rate,
+                              cfg.audio.min_audio_seconds,
+                              cfg.audio.max_audio_seconds)
     for bi, batch in enumerate(batches(ds, args.batch_size,
-                                       buckets=default_buckets(),
-                                       shuffle=False)):
+                                       buckets=buckets, shuffle=False)):
         if bi >= args.max_batches:
             break
         wav = fn(params, jnp.asarray(batch["audio"]),
@@ -172,20 +252,30 @@ def main():
                  jnp.asarray(batch["text_ids"]),
                  jax.random.key(args.seed + bi))
         wav = np.asarray(wav)
+        ref_wavs = None
+        if oracle_fn is not None:
+            ref_wavs = np.asarray(oracle_fn(
+                params, jnp.asarray(batch["audio"]),
+                jnp.asarray(batch["padding_mask"])))
         for r in range(wav.shape[0]):
             n = int(batch["padding_mask"][r].sum())
+            ref_audio = (ref_wavs[r] if ref_wavs is not None
+                         else np.asarray(batch["audio"][r, 0]))
             mel_maes.append(mel_mae(wav[r][None, :n],
-                                    batch["audio"][r, 0][None, :n]))
-            text = tok.decode([t for t, m in zip(batch["text_ids"][r],
-                                                 batch["text_mask"][r])
-                               if m])
-            refs.append(text)
+                                    ref_audio[None, :n]))
+            if args.oracle_ref and args.s2t:
+                # reference transcript = ASR of the oracle render, so the
+                # comparison isolates the refined-latent fidelity
+                refs.append(_asr(ref_audio, n))
+            else:
+                refs.append(tok.decode(
+                    [t for t, m in zip(batch["text_ids"][r],
+                                       batch["text_mask"][r]) if m]))
             if ecapa_params is not None:
                 # SIM-o: generated vs original prompt; SIM-r: generated vs
                 # codec reconstruction (ref: Experiments.ipynb cells 13-15)
                 from ditto_tts_tpu.codec import encodec as codec_mod
                 from ditto_tts_tpu.eval.metrics import cosine_similarity
-                orig = np.asarray(batch["audio"][r, 0])
                 codes = codec_mod.codec_encode(
                     params.codec, cfg.codec,
                     jnp.asarray(batch["audio"][r:r + 1]),
@@ -193,19 +283,10 @@ def main():
                 recon = np.asarray(codec_mod.codec_decode(
                     params.codec, cfg.codec, codes, output_length=n))[0, 0]
                 e_gen = _embed(wav[r], n)
-                sim_o.append(cosine_similarity(e_gen, _embed(orig, n)))
+                sim_o.append(cosine_similarity(e_gen, _embed(ref_audio, n)))
                 sim_r.append(cosine_similarity(e_gen, _embed(recon, n)))
             if args.s2t:
-                from ditto_tts_tpu.models import s2t as s2t_mod
-                wav16 = np.interp(
-                    np.arange(0, n, 24000 / 16000.0), np.arange(n),
-                    wav[r][:n])
-                fb = s2t_mod.log_mel_fbank(wav16, 16000)[None]
-                ids = s2t_mod.greedy_decode(
-                    s2t_params, s2t_cfg, jnp.asarray(fb),
-                    jnp.ones((1, fb.shape[1]), jnp.int32),
-                    forced_bos_id=forced_bos, max_len=200)
-                hyps.append(s2t_tok.decode(np.asarray(ids)[0]))
+                hyps.append(_asr(wav[r], n))
 
     results = {"mel_mae_mean": float(np.mean(mel_maes)),
                "num_utterances": len(refs)}

@@ -120,3 +120,17 @@ def test_init_runs():
     ids = js2t.greedy_decode(p, CFG, feats, mask, forced_bos_id=5,
                              max_len=6)
     assert ids.shape == (1, 6)
+
+
+def test_tokenizer_decode_skips_decoder_start_eos():
+    """Generated ids start with the decoder-start token (</s> for S2T);
+    decode must not truncate to the empty string on it."""
+    from ditto_tts_tpu.text.s2t_tokenizer import S2TTokenizer
+
+    tok = S2TTokenizer.placeholder(100)
+    seq = [2, 5, 20, 21, 2, 1, 1]      # <s=eos> <lang:fr> tok tok </s> pad
+    out = tok.decode(seq)
+    assert out != ""
+    assert "tok20" in out and "tok21" in out
+    # a transcript that legitimately ENDS at the first real eos
+    assert tok.decode([2, 5, 20, 2, 30]) == tok.decode([2, 5, 20, 2])

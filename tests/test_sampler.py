@@ -93,3 +93,56 @@ def test_ddim_eta0_deterministic_and_recovers_x0():
     ac = np.asarray(sched.alphas_cumprod, np.float64)
     want = np.asarray(x0, np.float64) / np.sqrt(ac[taus[0]])
     np.testing.assert_allclose(np.asarray(a), want, rtol=1e-4)
+
+
+def test_clip_denoised_contracts_with_oracle_model():
+    """With the analytically optimal eps-predictor for a single data point,
+    sampling contracts to x0 with or without clipping; with a PERTURBED
+    predictor, the unclipped sampler amplifies the error ~1/sqrt(alpha_t)
+    at the first reverse steps while clip_denoised keeps the trajectory on
+    the data manifold (Ho et al. 2020 clip_denoised; no reference
+    counterpart, SpeechGenerator.py:130-147)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ditto_tts_tpu.diffusion.sampler import (ddpm_sample,
+                                                 respaced_timesteps)
+    from ditto_tts_tpu.diffusion.schedule import NoiseSchedule
+
+    T = 50
+    schedule = NoiseSchedule.cosine(T)
+    taus = respaced_timesteps(T, T)
+    x0 = jnp.asarray(np.random.default_rng(0)
+                     .standard_normal((1, 16, 8)), jnp.float32)
+    abar = schedule.alphas_cumprod
+
+    def oracle(x, t, err=0.0):
+        a = abar[t].reshape(-1, 1, 1)
+        eps = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a)
+        if err:
+            eps = eps + err * jax.random.normal(
+                jax.random.fold_in(jax.random.key(5), t[0]), eps.shape)
+        return eps
+
+    x_init = jax.random.normal(jax.random.key(1), x0.shape)
+    exact = ddpm_sample(oracle, jax.random.key(2), x_init, schedule, taus)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(x0),
+                               atol=1e-5)
+    exact_clip = ddpm_sample(oracle, jax.random.key(2), x_init, schedule,
+                             taus, clip_denoised=4.0)
+    np.testing.assert_allclose(np.asarray(exact_clip), np.asarray(x0),
+                               atol=1e-5)
+
+    # an uninformative predictor (eps_hat = 0): the unclipped update
+    # multiplies x by prod(1/sqrt(alpha_t)) ~ 1/sqrt(abar_{T-1}) ~ 3e3,
+    # while clipping bounds the implied x0_hat and keeps the trajectory
+    # at data scale
+    zero_model = lambda x, t: jnp.zeros_like(x)
+    wild = ddpm_sample(zero_model, jax.random.key(2), x_init, schedule,
+                       taus)
+    tame = ddpm_sample(zero_model, jax.random.key(2), x_init, schedule,
+                       taus, clip_denoised=4.0)
+    scale_wild = float(jnp.abs(wild).max())
+    scale_tame = float(jnp.abs(tame).max())
+    assert scale_wild > 100.0, scale_wild
+    assert scale_tame < 10.0, scale_tame
