@@ -93,7 +93,8 @@ def main():
     t0 = time.time()
     _, chk = fn(params, audio, mask, text, jax.random.key(7))
     float(chk)
-    print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(3):
@@ -104,6 +105,7 @@ def main():
     dt = min(times)
     value = BATCH * SECONDS / dt
 
+    t_bd = time.time()
     breakdown, mfu = stage_breakdown(cfg, params, audio, mask, text, dt)
     print(json.dumps({
         "metric": "audio_seconds_synthesized_per_s_per_chip",
@@ -112,6 +114,8 @@ def main():
                 f"{STEPS}-step DiT-base + BigVGAN)",
         "vs_baseline": round(value, 3),
         "mfu": mfu,
+        "compile_and_first_run_s": round(compile_s, 1),
+        "stage_breakdown_s": round(time.time() - t_bd, 1),
         "stage_breakdown": breakdown,
     }))
 
@@ -168,16 +172,22 @@ def stage_breakdown(cfg, params, audio, mask, text, total_dt):
     breakdown = {}
     total_flops = 0.0
     for name, (fn, args) in runs.items():
+        # ONE lower+compile per stage: the same compiled program serves
+        # timing, warmup, and cost analysis (a separate jax.jit(fn) for
+        # cost_analysis recompiled every stage a second time and tripled
+        # the round-2 bench's compile bill)
         jfn = jax.jit(lambda *a, _f=fn: jnp.sum(jnp.ravel(_f(*a))[-4:]))
-        float(jfn(*args))  # compile + warm
-        dt = min(_time_once(lambda: float(jfn(*args))) for _ in range(3))
+        compiled = jfn.lower(*args).compile()
+        float(compiled(*args))  # warm
+        dt = min(_time_once(lambda: float(compiled(*args)))
+                 for _ in range(3))
         # dispatch-dominated stages (mel) bottom out at the null-program
         # latency; clamp so rates stay meaningful
         dt = max(dt - disp, 1e-3)
         if name in analytic:
             flops = analytic[name]
         else:
-            cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+            cost = compiled.cost_analysis()
             flops = float(cost.get("flops", 0.0)) if cost else 0.0
         total_flops += flops
         breakdown[name] = {

@@ -171,6 +171,10 @@ class VocoderConfig(_JsonMixin):
     # as convs; oracle) | "fused_pallas" (opt-in; hangs the tunneled
     # single-chip backend, see CLAUDE.md)
     aa_impl: str = "polyphase"
+    # signal carry layout: "ncl" (torch-like [B, C, T]) | "nlc"
+    # (channels-last [B, T, C] — the layout TPU conv lowering targets
+    # natively; polyphase aa_impl only)
+    layout: str = "ncl"
     # conv operand dtype (fp32 accumulation regardless); the conv stack is
     # compute-bound, bf16 runs it at native MXU rate. Set "float32" for
     # bit-exact parity work.

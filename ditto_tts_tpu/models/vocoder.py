@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import VocoderConfig
-from ..nn.conv import conv1d, conv_transpose1d, pad1d
+from ..nn.conv import (conv1d, conv1d_nlc, conv_transpose1d,
+                       conv_transpose1d_nlc, pad1d)
 from ..ops.snake import (anti_aliased_activation,
                          polyphase_anti_aliased_activation, snake, snake_beta)
 
@@ -73,12 +74,17 @@ def _amp_block(p, cfg: VocoderConfig, x, dilations, impl: str, cdt):
 
 
 def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
-                    fused: bool = False, aa_impl: Optional[str] = None):
+                    fused: bool = False, aa_impl: Optional[str] = None,
+                    layout: Optional[str] = None):
     """mel: [B, num_mels, T] -> waveform [B, 1, T * prod(rates)].
 
     ``aa_impl`` selects the anti-aliased activation implementation
     ("polyphase" | "composed" | "fused_pallas"); defaults to
     ``cfg.aa_impl``. ``fused=True`` is a legacy alias for "fused_pallas".
+    ``layout`` ("ncl" | "nlc", default ``cfg.layout``) selects the carry
+    layout: "nlc" keeps the signal channels-last throughout — the layout
+    TPU conv lowering targets natively (channels = GEMM contraction axis),
+    avoiding per-conv layout transposes.
 
     Conv operands are cast to ``cfg.compute_dtype`` for the MXU (fp32
     accumulation regardless); the signal is carried between ops in
@@ -87,6 +93,8 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
     chains are HBM-bandwidth-bound (bf16 halves their traffic).
     """
     impl = aa_impl or ("fused_pallas" if fused else cfg.aa_impl)
+    if (layout or cfg.layout) == "nlc":
+        return _bigvgan_forward_nlc(params, cfg, mel, impl)
     # Always pass an explicit compute dtype: the signal is carried in
     # cfg.carry_dtype while weights stay fp32, so the conv primitives must
     # cast BOTH operands (a no-op cast when dtypes already match).
@@ -112,6 +120,76 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
     x = _act(x, params["act_post"], cfg, impl)
     x = _conv_same(params["conv_post"], x, cdt=cdt)
     return jnp.clip(x.astype(jnp.float32), -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# channels-last (NLC) forward path
+# ---------------------------------------------------------------------------
+
+def _act_nlc(x, act_params, cfg: VocoderConfig, impl: str):
+    """x: [B, T, C]."""
+    if cfg.activation == "snakebeta":
+        def fn(v):
+            return snake_beta(v, act_params["alpha"], act_params["beta"],
+                              logscale=cfg.snake_logscale, channel_axis=-1)
+    else:
+        def fn(v):
+            return snake(v, act_params["alpha"],
+                         logscale=cfg.snake_logscale, channel_axis=-1)
+    if not cfg.use_anti_aliasing:
+        return fn(x)
+    if impl != "polyphase":
+        raise NotImplementedError(
+            "nlc layout supports aa_impl='polyphase' only "
+            f"(got {impl!r}); use layout='ncl' for the oracle paths")
+    return polyphase_anti_aliased_activation(x, fn, time_axis=1)
+
+
+def _pad_time(x, pad):
+    return jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+
+
+def _conv_same_nlc(p, x, *, dilation=1, cdt=None):
+    k = p["weight"].shape[-1]
+    return conv1d_nlc(_pad_time(x, _get_padding(k, dilation)), p["weight"],
+                      p.get("bias"), dilation=dilation, compute_dtype=cdt)
+
+
+def _amp_block_nlc(p, cfg, x, dilations, impl, cdt):
+    for i in range(len(p["convs1"])):
+        xt = _act_nlc(x, p["act1"][i], cfg, impl)
+        xt = _conv_same_nlc(p["convs1"][i], xt, dilation=dilations[i],
+                            cdt=cdt)
+        xt = _act_nlc(xt, p["act2"][i], cfg, impl)
+        xt = _conv_same_nlc(p["convs2"][i], xt, cdt=cdt)
+        x = x + xt
+    return x
+
+
+def _bigvgan_forward_nlc(params, cfg: VocoderConfig, mel, impl: str):
+    """Same math as the NCL body, carried [B, T, C] end to end (one
+    transpose in, one out)."""
+    cdt = jnp.dtype(cfg.compute_dtype)
+    x = mel.astype(cfg.carry_dtype).transpose(0, 2, 1)     # [B, T, C]
+    x = _conv_same_nlc(params["conv_pre"], x, cdt=cdt)
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    for i, rate in enumerate(cfg.upsample_rates):
+        k = cfg.upsample_kernel_sizes[i]
+        up = params["ups"][i]
+        y = conv_transpose1d_nlc(x, up["weight"], up.get("bias"),
+                                 stride=rate, compute_dtype=cdt)
+        trim = (k - rate) // 2
+        if trim:
+            y = y[:, trim:-trim]
+        acc = None
+        for j, rb in enumerate(params["resblocks"][i]):
+            out = _amp_block_nlc(rb, cfg, y, cfg.resblock_dilation_sizes[j],
+                                 impl, cdt)
+            acc = out if acc is None else acc + out
+        x = acc / num_kernels
+    x = _act_nlc(x, params["act_post"], cfg, impl)
+    x = _conv_same_nlc(params["conv_post"], x, cdt=cdt)
+    return jnp.clip(x.astype(jnp.float32), -1.0, 1.0).transpose(0, 2, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,58 @@ def conv_transpose1d(x, weight, bias=None, *, stride=1, compute_dtype=None):
     return y
 
 
+def conv1d_nlc(x, weight, bias=None, *, stride=1, dilation=1, groups=1,
+               compute_dtype=None):
+    """Channels-last conv: x [N, L, C]; weight [O, I/groups, K] (torch
+    layout, transposed to HIO inside — XLA folds the transpose into its
+    kernel layout assignment). 'VALID' padding.
+
+    On TPU, NHC/HWIO is the layout the conv lowering targets natively
+    (C is the contraction axis of the implicit GEMM); feeding NCH makes
+    XLA insert layout transposes around every conv."""
+    out_dtype = x.dtype
+    if compute_dtype is None and x.dtype != weight.dtype:
+        compute_dtype = jnp.promote_types(x.dtype, weight.dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, weight,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "OIH", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+    if bias is not None:
+        y = y + bias[None, None, :]
+    return y
+
+
+def conv_transpose1d_nlc(x, weight, bias=None, *, stride=1,
+                         compute_dtype=None):
+    """Channels-last transposed conv: x [N, L, C]; weight [I, O, K] (torch
+    layout). torch output length (L-1)*s + K."""
+    out_dtype = x.dtype
+    if compute_dtype is None and x.dtype != weight.dtype:
+        compute_dtype = jnp.promote_types(x.dtype, weight.dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
+    y = jax.lax.conv_transpose(
+        x, weight,
+        strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NHC", "OIH", "NHC"),
+        transpose_kernel=True,
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+    if bias is not None:
+        y = y + bias[None, None, :]
+    return y
+
+
 def pad1d(x, paddings, mode="zero"):
     """Pad last axis by (left, right). Reflect handles short inputs by
     zero-extending first (EnCodec edge-case semantics)."""

@@ -18,6 +18,7 @@ Formulas (alpha/beta per channel, logscale: alpha=exp(a)):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .resample import (_replicate_pad, downsample1d, kaiser_sinc_filter1d,
@@ -26,27 +27,38 @@ from .resample import (_replicate_pad, downsample1d, kaiser_sinc_filter1d,
 _EPS = 1e-9
 
 
-def snake(x, alpha, *, logscale: bool = True):
-    """x: [B, C, T]; alpha: [C]. Computes in x.dtype (exp/recip in fp32)."""
+def _chan_shape(x, channel_axis: int):
+    """Broadcast shape placing a [C] param on ``channel_axis`` of x."""
+    axis = channel_axis % x.ndim
+    return tuple(-1 if i == axis else 1 for i in range(x.ndim))
+
+
+def snake(x, alpha, *, logscale: bool = True, channel_axis: int = 1):
+    """x with channels on ``channel_axis`` (default [B, C, T]); alpha: [C].
+    Computes in x.dtype (exp/recip in fp32)."""
+    shape = _chan_shape(x, channel_axis)
     a = jnp.exp(alpha) if logscale else alpha
-    inv_a = (1.0 / (a + _EPS)).astype(x.dtype)[None, :, None]
-    a = a.astype(x.dtype)[None, :, None]
+    inv_a = (1.0 / (a + _EPS)).astype(x.dtype).reshape(shape)
+    a = a.astype(x.dtype).reshape(shape)
     s = jnp.sin(a * x)
     return x + inv_a * s * s
 
 
-def snake_beta(x, alpha, beta, *, logscale: bool = True):
-    """x: [B, C, T]; alpha, beta: [C] (BigVGAN SnakeBeta).
+def snake_beta(x, alpha, beta, *, logscale: bool = True,
+               channel_axis: int = 1):
+    """x with channels on ``channel_axis`` (default [B, C, T]); alpha,
+    beta: [C] (BigVGAN SnakeBeta).
 
     exp/reciprocal run in the param dtype (fp32); the per-element work is
     carried in x.dtype so bf16 signals stay bf16 (no silent promotion)."""
+    shape = _chan_shape(x, channel_axis)
     if logscale:
         a = jnp.exp(alpha)
         b = jnp.exp(beta)
     else:
         a, b = alpha, beta
-    inv_b = (1.0 / (b + _EPS)).astype(x.dtype)[None, :, None]
-    a = a.astype(x.dtype)[None, :, None]
+    inv_b = (1.0 / (b + _EPS)).astype(x.dtype).reshape(shape)
+    a = a.astype(x.dtype).reshape(shape)
     s = jnp.sin(a * x)
     return x + inv_b * s * s
 
@@ -59,7 +71,8 @@ def anti_aliased_activation(x, act_fn, *, up_ratio: int = 2,
     return downsample1d(y, down_ratio)
 
 
-def polyphase_anti_aliased_activation(x, act_fn, *, kernel_size: int = 12):
+def polyphase_anti_aliased_activation(x, act_fn, *, kernel_size: int = 12,
+                                      time_axis: int = -1):
     """Exact polyphase re-formulation of ``anti_aliased_activation`` (2x/2x).
 
     The 2x-rate signal is never materialized: the upsample FIR splits into
@@ -78,7 +91,8 @@ def polyphase_anti_aliased_activation(x, act_fn, *, kernel_size: int = 12):
     tunneled single-chip backend used for CI benches (see CLAUDE.md), so it
     stays opt-in.
 
-    x: [B, C, T] -> [B, C, T].
+    x: time on ``time_axis`` (default last, i.e. [B, C, T]; pass
+    time_axis=1 for the channels-last [B, T, C] vocoder path).
     """
     if kernel_size != 12:
         raise ValueError("polyphase offsets are derived for kernel_size=12 "
@@ -86,13 +100,22 @@ def polyphase_anti_aliased_activation(x, act_fn, *, kernel_size: int = 12):
     half = kernel_size // 2
     h = kaiser_sinc_filter1d(0.25, 0.3, kernel_size)
     pad = half - 1
-    xt = _replicate_pad(x, pad, pad)
-    t = x.shape[-1]
+    axis = time_axis % x.ndim
+    t = x.shape[axis]
+
+    def sl(src, start, n):
+        return jax.lax.slice_in_dim(src, start, start + n, axis=axis)
+
+    def rep(v, n):
+        return jnp.repeat(v, n, axis=axis)
+
+    xt = jnp.concatenate([rep(sl(x, 0, 1), pad), x,
+                          rep(sl(x, t - 1, 1), pad)], axis=axis)
 
     def taps(weights, base, src, n):
-        acc = float(weights[0]) * src[..., base:base + n]
+        acc = float(weights[0]) * sl(src, base, n)
         for r in range(1, half):
-            acc = acc + float(weights[r]) * src[..., base + r:base + r + n]
+            acc = acc + float(weights[r]) * sl(src, base + r, n)
         return acc
 
     # upsample phases (x2 transposed-conv gain folded in)
@@ -103,10 +126,10 @@ def polyphase_anti_aliased_activation(x, act_fn, *, kernel_size: int = 12):
 
     # decimation: z[t] = sum_r g[2r] o[t+r-3] + g[2r+1] e[t+r-2], with the
     # 2x-rate replicate edges (left pads = e[0], right pads = o[-1])
-    lval = se[..., :1]
-    rval = so[..., -1:]
-    e_p = jnp.concatenate([jnp.repeat(lval, half - 4, -1), se,
-                           jnp.repeat(rval, half - 3, -1)], axis=-1)
-    o_p = jnp.concatenate([jnp.repeat(lval, half - 3, -1), so,
-                           jnp.repeat(rval, half - 4, -1)], axis=-1)
+    lval = sl(se, 0, 1)
+    rval = sl(so, t - 1, 1)
+    e_p = jnp.concatenate([rep(lval, half - 4), se,
+                           rep(rval, half - 3)], axis=axis)
+    o_p = jnp.concatenate([rep(lval, half - 3), so,
+                           rep(rval, half - 4)], axis=axis)
     return taps(h[0::2], 0, o_p, t) + taps(h[1::2], 0, e_p, t)

@@ -329,9 +329,15 @@ def main():
         f.write(TINY.to_json())
 
     ckpt = os.path.join(args.workdir, "DiTTO_tiny_trained.npz")
-    train_tiny_ditto(corpus, args.train_steps, ckpt)
+    if os.path.exists(ckpt):
+        print(f"[train] reusing {ckpt}")
+    else:
+        train_tiny_ditto(corpus, args.train_steps, ckpt)
     asr_ckpt = os.path.join(args.workdir, "S2T_tiny_trained.npz")
-    train_tiny_asr(corpus, args.asr_steps, asr_ckpt)
+    if os.path.exists(asr_ckpt):
+        print(f"[asr] reusing {asr_ckpt}")
+    else:
+        train_tiny_asr(corpus, args.asr_steps, asr_ckpt)
 
     print("[eval] random-weights run", flush=True)
     random_res = run_eval(corpus, cfg_path,

@@ -133,3 +133,29 @@ def test_importer_from_torch_naming():
     np.testing.assert_allclose(
         np.asarray(params["ups"][0]["weight"]),
         sd["ups.0.0.weight"], rtol=1e-6)
+
+
+def test_nlc_layout_matches_ncl():
+    """Channels-last forward is numerically the same computation."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ditto_tts_tpu.core.config import VocoderConfig
+    from ditto_tts_tpu.models.vocoder import bigvgan_forward, init_bigvgan
+
+    cfg = VocoderConfig(
+        num_mels=8, upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+        compute_dtype="float32", carry_dtype="float32")
+    params = init_bigvgan(jax.random.key(0), cfg)
+    # exercise nonzero snake params
+    params = jax.tree_util.tree_map(
+        lambda l: l + 0.1 if l.ndim == 1 else l, params)
+    mel = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((2, 8, 37)), jnp.float32)
+    ref = bigvgan_forward(params, cfg, mel, layout="ncl")
+    nlc = bigvgan_forward(params, cfg, mel, layout="nlc")
+    assert ref.shape == nlc.shape
+    np.testing.assert_allclose(np.asarray(nlc), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
