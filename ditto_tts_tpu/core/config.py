@@ -136,6 +136,12 @@ class DiTConfig(_JsonMixin):
     compute_dtype: str = "float32"
     # rematerialize each block in the backward pass (training memory)
     remat_blocks: bool = False
+    # diffusion target parameterization: "eps" (reference; TrainDiTTO.py
+    # predicts the noise) | "v" (Salimans & Ho 2022) | "x0". eps-prediction
+    # gives conditioning (text) a vanishing gradient at high t (the target
+    # is ~the input), while sampling needs it exactly there; "v" weights
+    # all t evenly and is the recommended mode for new training runs.
+    prediction_type: str = "eps"
 
     # training
     epochs: int = 20
@@ -171,10 +177,15 @@ class VocoderConfig(_JsonMixin):
     # as convs; oracle) | "fused_pallas" (opt-in; hangs the tunneled
     # single-chip backend, see CLAUDE.md)
     aa_impl: str = "polyphase"
-    # signal carry layout: "ncl" (torch-like [B, C, T]) | "nlc"
-    # (channels-last [B, T, C] — the layout TPU conv lowering targets
-    # natively; polyphase aa_impl only)
-    layout: str = "ncl"
+    # signal carry layout: "ncl" (torch-like [B, C, T]; oracle paths) |
+    # "nlc" (channels-last [B, T, C]) — with conv_impl="gemm" the nlc
+    # path measured 563 ms vs 707 ms ncl for the 10 s/B=4 bench geometry
+    # on v5e, so it is the default
+    layout: str = "nlc"
+    # nlc-layout conv lowering: "gemm" (explicit tap-sum of dot_generals —
+    # bypasses XLA's 1-D conv emitter, which runs BigVGAN's wide-channel
+    # stages at ~5% of matmul peak on TPU) | "xla" (conv_general_dilated)
+    conv_impl: str = "gemm"
     # conv operand dtype (fp32 accumulation regardless); the conv stack is
     # compute-bound, bf16 runs it at native MXU rate. Set "float32" for
     # bit-exact parity work.

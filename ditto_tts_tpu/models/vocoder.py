@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import VocoderConfig
-from ..nn.conv import (conv1d, conv1d_nlc, conv_transpose1d,
-                       conv_transpose1d_nlc, pad1d)
+from ..nn.conv import (conv1d, conv1d_nlc, conv1d_nlc_gemm,
+                       conv_transpose1d_poly, pad1d)
 from ..ops.snake import (anti_aliased_activation,
                          polyphase_anti_aliased_activation, snake, snake_beta)
 
@@ -105,8 +105,9 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
     for i, rate in enumerate(cfg.upsample_rates):
         k = cfg.upsample_kernel_sizes[i]
         up = params["ups"][i]
-        y = conv_transpose1d(x, up["weight"], up.get("bias"), stride=rate,
-                             compute_dtype=cdt)
+        y = conv_transpose1d_poly(x, up["weight"], up.get("bias"),
+                                  stride=rate, compute_dtype=cdt,
+                                  layout="ncl")
         # torch ConvTranspose1d padding=(k-rate)//2 trims both sides
         trim = (k - rate) // 2
         if trim:
@@ -138,10 +139,20 @@ def _act_nlc(x, act_params, cfg: VocoderConfig, impl: str):
                          logscale=cfg.snake_logscale, channel_axis=-1)
     if not cfg.use_anti_aliasing:
         return fn(x)
+    if impl == "fused_pallas":
+        # narrow stages pad channels to a 128 lane tile — past ~4x padding
+        # waste the XLA polyphase path wins, so dispatch on width
+        if x.shape[-1] >= 96:
+            from ..ops.snake_pallas_nlc import fused_snake_nlc
+            beta = (act_params["beta"] if cfg.activation == "snakebeta"
+                    else None)
+            return fused_snake_nlc(x, act_params["alpha"], beta,
+                                   logscale=cfg.snake_logscale)
+        impl = "polyphase"
     if impl != "polyphase":
         raise NotImplementedError(
-            "nlc layout supports aa_impl='polyphase' only "
-            f"(got {impl!r}); use layout='ncl' for the oracle paths")
+            "nlc layout supports aa_impl in ('polyphase', 'fused_pallas') "
+            f"only (got {impl!r}); use layout='ncl' for the oracle paths")
     return polyphase_anti_aliased_activation(x, fn, time_axis=1)
 
 
@@ -149,19 +160,20 @@ def _pad_time(x, pad):
     return jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
 
 
-def _conv_same_nlc(p, x, *, dilation=1, cdt=None):
+def _conv_same_nlc(p, x, *, dilation=1, cdt=None, gemm=True):
     k = p["weight"].shape[-1]
-    return conv1d_nlc(_pad_time(x, _get_padding(k, dilation)), p["weight"],
-                      p.get("bias"), dilation=dilation, compute_dtype=cdt)
+    cf = conv1d_nlc_gemm if gemm else conv1d_nlc
+    return cf(_pad_time(x, _get_padding(k, dilation)), p["weight"],
+              p.get("bias"), dilation=dilation, compute_dtype=cdt)
 
 
-def _amp_block_nlc(p, cfg, x, dilations, impl, cdt):
+def _amp_block_nlc(p, cfg, x, dilations, impl, cdt, gemm):
     for i in range(len(p["convs1"])):
         xt = _act_nlc(x, p["act1"][i], cfg, impl)
         xt = _conv_same_nlc(p["convs1"][i], xt, dilation=dilations[i],
-                            cdt=cdt)
+                            cdt=cdt, gemm=gemm)
         xt = _act_nlc(xt, p["act2"][i], cfg, impl)
-        xt = _conv_same_nlc(p["convs2"][i], xt, cdt=cdt)
+        xt = _conv_same_nlc(p["convs2"][i], xt, cdt=cdt, gemm=gemm)
         x = x + xt
     return x
 
@@ -170,25 +182,27 @@ def _bigvgan_forward_nlc(params, cfg: VocoderConfig, mel, impl: str):
     """Same math as the NCL body, carried [B, T, C] end to end (one
     transpose in, one out)."""
     cdt = jnp.dtype(cfg.compute_dtype)
+    gemm = cfg.conv_impl == "gemm"
     x = mel.astype(cfg.carry_dtype).transpose(0, 2, 1)     # [B, T, C]
-    x = _conv_same_nlc(params["conv_pre"], x, cdt=cdt)
+    x = _conv_same_nlc(params["conv_pre"], x, cdt=cdt, gemm=gemm)
     num_kernels = len(cfg.resblock_kernel_sizes)
     for i, rate in enumerate(cfg.upsample_rates):
         k = cfg.upsample_kernel_sizes[i]
         up = params["ups"][i]
-        y = conv_transpose1d_nlc(x, up["weight"], up.get("bias"),
-                                 stride=rate, compute_dtype=cdt)
+        y = conv_transpose1d_poly(x, up["weight"], up.get("bias"),
+                                  stride=rate, compute_dtype=cdt,
+                                  layout="nlc", gemm=gemm)
         trim = (k - rate) // 2
         if trim:
             y = y[:, trim:-trim]
         acc = None
         for j, rb in enumerate(params["resblocks"][i]):
             out = _amp_block_nlc(rb, cfg, y, cfg.resblock_dilation_sizes[j],
-                                 impl, cdt)
+                                 impl, cdt, gemm)
             acc = out if acc is None else acc + out
         x = acc / num_kernels
     x = _act_nlc(x, params["act_post"], cfg, impl)
-    x = _conv_same_nlc(params["conv_post"], x, cdt=cdt)
+    x = _conv_same_nlc(params["conv_post"], x, cdt=cdt, gemm=gemm)
     return jnp.clip(x.astype(jnp.float32), -1.0, 1.0).transpose(0, 2, 1)
 
 

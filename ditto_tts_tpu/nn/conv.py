@@ -120,6 +120,100 @@ def conv_transpose1d_nlc(x, weight, bias=None, *, stride=1,
     return y
 
 
+def conv1d_nlc_gemm(x, weight, bias=None, *, dilation=1, compute_dtype=None):
+    """Channels-last 'VALID' conv as an explicit tap-sum of GEMMs.
+
+    y[b, t, o] = sum_m  x[b, t + m*d, :] @ W[o, :, m]
+
+    Each tap is a [B*T, C_in] x [C_in, C_out] dot_general accumulated in
+    fp32 — the shape the MXU natively tiles — instead of XLA's 1-D conv
+    emitter (which at BigVGAN's wide-channel stages runs an order of
+    magnitude below matmul peak on TPU). The per-tap inputs are static
+    slices of one padded operand, so no im2col patch matrix is ever
+    materialized. Stride 1 only (all BigVGAN resblock convs).
+
+    x: [N, L, C]; weight: [O, I, K] (torch conv1d layout).
+    """
+    out_dtype = x.dtype
+    if compute_dtype is None and x.dtype != weight.dtype:
+        compute_dtype = jnp.promote_types(x.dtype, weight.dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
+    k = weight.shape[-1]
+    t_out = x.shape[1] - (k - 1) * dilation
+    acc = None
+    for m in range(k):
+        xm = jax.lax.slice_in_dim(x, m * dilation, m * dilation + t_out,
+                                  axis=1)
+        ym = jax.lax.dot_general(
+            xm, weight[:, :, m],
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [N, T, O]
+        acc = ym if acc is None else acc + ym
+    y = acc.astype(out_dtype)
+    if bias is not None:
+        y = y + bias[None, None, :]
+    return y
+
+
+def _poly_weight(weight, r):
+    """[I, O, K] transposed-conv weight -> [r*O, I, taps] forward-conv
+    weight for the polyphase decomposition (taps = K // r).
+
+    Derivation: y[n] = sum_t x[t] W[:, :, n - t*r]; with n = u*r + p and
+    j = u - t in [0, taps):  y[u*r + p] = sum_j x[u - j] W[:, :, p + j*r].
+    As a VALID conv over x zero-padded (taps-1) each side, tap m reads
+    x[u - (taps-1-m)], so the forward kernel is the j-flipped phase p of W.
+    Output channel index is p*O + o, making the [N, U, r, O] -> [N, U*r, O]
+    interleave a free reshape in channels-last layout."""
+    i, o, k = weight.shape
+    taps = k // r
+    w = weight.reshape(i, o, taps, r)[:, :, ::-1, :]   # [I, O, m, p]
+    return w.transpose(3, 1, 0, 2).reshape(r * o, i, taps)
+
+
+def conv_transpose1d_poly(x, weight, bias=None, *, stride=1,
+                          compute_dtype=None, layout="ncl", gemm=False):
+    """Transposed conv lowered as ONE dense VALID conv + reshape.
+
+    Exactly equal to ``conv_transpose1d(_nlc)`` (same output length
+    (L-1)*stride + K; fp summation order differs only within a tap) when
+    K is divisible by stride — BigVGAN (k=2r) and EnCodec decoders all
+    satisfy this. Avoids lhs-dilated convolution: XLA's TPU lowering for
+    lhs dilation either computes over inserted zeros or relayouts; the
+    polyphase form is a plain implicit GEMM with r*O output channels, and
+    in NLC the phase interleave is a free reshape (row-major [U, r, O]).
+
+    x: [N, C, L] ("ncl") or [N, L, C] ("nlc"); weight: [I, O, K] torch
+    transposed-conv layout.
+    """
+    r = stride
+    i, o, k = weight.shape
+    if r == 1 or k % r != 0:
+        f = conv_transpose1d if layout == "ncl" else conv_transpose1d_nlc
+        return f(x, weight, bias, stride=stride, compute_dtype=compute_dtype)
+    taps = k // r
+    w2 = _poly_weight(weight, r)
+    if layout == "nlc":
+        xp = jnp.pad(x, ((0, 0), (taps - 1, taps - 1), (0, 0)))
+        cf = conv1d_nlc_gemm if gemm else conv1d_nlc
+        y = cf(xp, w2, None, compute_dtype=compute_dtype)
+        n, u, _ = y.shape
+        y = y.reshape(n, u * r, o)
+        if bias is not None:
+            y = y + bias[None, None, :]
+        return y
+    xp = jnp.pad(x, ((0, 0), (0, 0), (taps - 1, taps - 1)))
+    y = conv1d(xp, w2, None, compute_dtype=compute_dtype)
+    n, _, u = y.shape
+    # [N, r*O, U]: channel = p*O + o -> [N, O, U*r] with time = u*r + p
+    y = y.reshape(n, r, o, u).transpose(0, 2, 3, 1).reshape(n, o, u * r)
+    if bias is not None:
+        y = y + bias[None, :, None]
+    return y
+
+
 def pad1d(x, paddings, mode="zero"):
     """Pad last axis by (left, right). Reflect handles short inputs by
     zero-extending first (EnCodec edge-case semantics)."""

@@ -155,6 +155,86 @@ def cmd_vocoder_stages(args):
         print(f"stages[0:{k}]                  {ms:9.2f} ms/call")
 
 
+def cmd_layout(args):
+    """NCL (torch-like) vs NLC (channels-last) BigVGAN carry layout."""
+    from ditto_tts_tpu.models import vocoder as voc
+
+    cfg = VocoderConfig()
+    params = jax.device_put(_params(voc.init_bigvgan, jax.random.key(0), cfg))
+    frames = 24_000 * SECONDS // cfg.hop_size
+    mel = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((BATCH, cfg.num_mels, frames)),
+                      jnp.float32)
+    # single-call timing with dispatch subtraction: one compile per
+    # variant (the K-chain slope method sextuples the compile bill and a
+    # timeout kill mid-run wedges the tunneled chip)
+    null = jax.jit(lambda x: jnp.sum(x[-4:]))
+    zv = jnp.zeros((8,), jnp.float32)
+    float(null(zv))
+    disp = min(_min_time(lambda: float(null(zv))) for _ in range(5))
+    print(f"dispatch {disp*1e3:.1f} ms", flush=True)
+    variants = os.environ.get(
+        "VARIANTS", "ncl,nlc-xla,nlc-gemm").split(",")
+    for v in variants:
+        layout = "ncl" if v == "ncl" else "nlc"
+        c = cfg.replace(conv_impl="gemm" if v.endswith("gemm") else "xla")
+        fn = jax.jit(lambda p, m, c=c, layout=layout: jnp.sum(
+            voc.bigvgan_forward(p, c, m, layout=layout)[..., -8:]))
+        t0 = time.perf_counter()
+        float(fn(params, mel))
+        print(f"variant={v:10s} compile+first {time.perf_counter()-t0:6.1f} s",
+              flush=True)
+        best = min(_min_time(lambda: float(fn(params, mel)))
+                   for _ in range(REPS))
+        print(f"variant={v:10s} {(best-disp)*1e3:9.2f} ms/call", flush=True)
+
+
+def _min_time(thunk):
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
+
+
+def cmd_nlc_breakdown(args):
+    """Where do the nlc-gemm vocoder's milliseconds sit? Single-call
+    timings (dispatch-subtracted): act ablations + stage prefixes."""
+    from ditto_tts_tpu.models import vocoder as voc
+
+    cfg = VocoderConfig(layout="nlc", conv_impl="gemm")
+    params = jax.device_put(_params(voc.init_bigvgan, jax.random.key(0), cfg))
+    frames = 24_000 * SECONDS // cfg.hop_size
+    mel = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((BATCH, cfg.num_mels, frames)),
+                      jnp.float32)
+
+    null = jax.jit(lambda x: jnp.sum(x[-4:]))
+    zv = jnp.zeros((8,), jnp.float32)
+    float(null(zv))
+    disp = min(_min_time(lambda: float(null(zv))) for _ in range(5))
+
+    def run(name, c, p=params, m=mel):
+        fn = jax.jit(lambda p, m: jnp.sum(
+            voc.bigvgan_forward(p, c, m)[..., -8:]))
+        float(fn(p, m))
+        best = min(_min_time(lambda: float(fn(p, m))) for _ in range(REPS))
+        print(f"{name:24s} {(best - disp) * 1e3:9.2f} ms", flush=True)
+
+    run("full (polyphase AA)", cfg)
+    run("no anti-aliasing", cfg.replace(use_anti_aliasing=False))
+
+    for k in range(1, len(cfg.upsample_rates) + 1):
+        sub = cfg.replace(upsample_rates=cfg.upsample_rates[:k],
+                          upsample_kernel_sizes=cfg.upsample_kernel_sizes[:k])
+        subp = dict(params)
+        subp["ups"] = params["ups"][:k]
+        subp["resblocks"] = params["resblocks"][:k]
+        ch = cfg.upsample_initial_channel // (2 ** k)
+        subp["act_post"] = {"alpha": jnp.zeros((ch,)),
+                            "beta": jnp.zeros((ch,))}
+        subp["conv_post"] = {"weight": 0.01 * jnp.ones((1, ch, 7))}
+        run(f"stages[0:{k}]", sub, jax.device_put(subp))
+
+
 def cmd_stage3(args):
     """Stage-3 breakdown: VQ argmin, codec decode, mel, BigVGAN."""
     from ditto_tts_tpu.codec import encodec as codec_mod
@@ -213,10 +293,13 @@ def main():
     sub.add_parser("bigvgan")
     sub.add_parser("vocoder-stages")
     sub.add_parser("stage3")
+    sub.add_parser("layout")
+    sub.add_parser("nlc-breakdown")
     args = ap.parse_args()
     print("device:", jax.devices()[0])
     {"bigvgan": cmd_bigvgan, "vocoder-stages": cmd_vocoder_stages,
-     "stage3": cmd_stage3}[args.cmd](args)
+     "stage3": cmd_stage3, "layout": cmd_layout,
+     "nlc-breakdown": cmd_nlc_breakdown}[args.cmd](args)
 
 
 if __name__ == "__main__":

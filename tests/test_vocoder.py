@@ -51,10 +51,11 @@ def test_polyphase_impl_matches_composed():
         lambda a: a + 0.1 if a.ndim == 1 else a, params)
     mel = jnp.asarray(np.random.default_rng(1)
                       .standard_normal((2, 8, 20)).astype(np.float32))
+    # oracle impls only exist in the torch-like ncl layout
     composed = np.asarray(bigvgan_forward(params, TINY, mel,
-                                          aa_impl="composed"))
+                                          aa_impl="composed", layout="ncl"))
     poly = np.asarray(bigvgan_forward(params, TINY, mel,
-                                      aa_impl="polyphase"))
+                                      aa_impl="polyphase", layout="ncl"))
     np.testing.assert_allclose(poly, composed, rtol=2e-5, atol=2e-5)
 
 
@@ -155,7 +156,60 @@ def test_nlc_layout_matches_ncl():
     mel = jnp.asarray(np.random.default_rng(0)
                       .standard_normal((2, 8, 37)), jnp.float32)
     ref = bigvgan_forward(params, cfg, mel, layout="ncl")
-    nlc = bigvgan_forward(params, cfg, mel, layout="nlc")
-    assert ref.shape == nlc.shape
-    np.testing.assert_allclose(np.asarray(nlc), np.asarray(ref),
-                               rtol=2e-5, atol=2e-6)
+    for conv_impl in ("xla", "gemm"):
+        nlc = bigvgan_forward(params, cfg.replace(conv_impl=conv_impl), mel,
+                              layout="nlc")
+        assert ref.shape == nlc.shape
+        np.testing.assert_allclose(np.asarray(nlc), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6,
+                                   err_msg=f"conv_impl={conv_impl}")
+
+
+def test_conv1d_nlc_gemm_matches_xla():
+    """Tap-sum GEMM conv == lax conv (dilations, bias, bf16 compute)."""
+    from ditto_tts_tpu.nn.conv import conv1d_nlc, conv1d_nlc_gemm
+
+    rng = np.random.default_rng(1)
+    for (cin, cout, k, d) in [(16, 8, 3, 1), (8, 16, 7, 3), (4, 4, 11, 5),
+                              (8, 8, 1, 1)]:
+        x = jnp.asarray(rng.standard_normal((2, 64, cin)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((cout, cin, k)),
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+        ref = conv1d_nlc(x, w, b, dilation=d)
+        got = conv1d_nlc_gemm(x, w, b, dilation=d)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        refb = conv1d_nlc(x, w, None, dilation=d,
+                          compute_dtype=jnp.bfloat16)
+        gotb = conv1d_nlc_gemm(x, w, None, dilation=d,
+                               compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(gotb), np.asarray(refb),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_conv_transpose_poly_matches_dilated():
+    """conv_transpose1d_poly == conv_transpose1d(_nlc) exactly (both
+    layouts, BigVGAN + EnCodec (k=2r) geometries, with/without bias)."""
+    from ditto_tts_tpu.nn.conv import (conv_transpose1d, conv_transpose1d_nlc,
+                                       conv_transpose1d_poly)
+
+    rng = np.random.default_rng(0)
+    for (cin, cout, k, r) in [(16, 8, 8, 4), (8, 4, 4, 2), (6, 3, 16, 8),
+                              (5, 7, 10, 5), (4, 4, 3, 1)]:
+        x = jnp.asarray(rng.standard_normal((2, cin, 19)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((cin, cout, k)),
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+        ref = conv_transpose1d(x, w, b, stride=r)
+        got = conv_transpose1d_poly(x, w, b, stride=r, layout="ncl")
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        xl = x.transpose(0, 2, 1)
+        refl = conv_transpose1d_nlc(xl, w, b, stride=r)
+        gotl = conv_transpose1d_poly(xl, w, b, stride=r, layout="nlc")
+        assert gotl.shape == refl.shape
+        np.testing.assert_allclose(np.asarray(gotl), np.asarray(refl),
+                                   rtol=1e-5, atol=1e-5)
