@@ -55,6 +55,24 @@ def _respaced_coeffs(schedule: NoiseSchedule, timesteps: np.ndarray):
     return taus, abar, abar_prev, beta, alpha
 
 
+def to_eps(pred, x, abar_t, prediction_type: str):
+    """Convert a model output under any target parameterization to the
+    implied eps given x_t (x = sqrt(ab) x0 + sqrt(1-ab) eps):
+
+      eps: pred IS eps
+      x0:  eps = (x - sqrt(ab) pred) / sqrt(1-ab)
+      v:   v = sqrt(ab) eps - sqrt(1-ab) x0  =>  eps = sqrt(1-ab) x
+                                                      + sqrt(ab) v
+    """
+    if prediction_type == "eps":
+        return pred
+    if prediction_type == "x0":
+        return (x - jnp.sqrt(abar_t) * pred) / jnp.sqrt(1.0 - abar_t)
+    if prediction_type == "v":
+        return jnp.sqrt(1.0 - abar_t) * x + jnp.sqrt(abar_t) * pred
+    raise ValueError(f"unknown prediction_type {prediction_type!r}")
+
+
 def _clip_eps(x, eps, abar_t, clip: float):
     """Clamp the implied denoised sample x0_hat to [-clip, clip] and return
     the equivalent eps (standard DDPM 'clip_denoised' stabilizer, Ho et al.
@@ -75,10 +93,13 @@ def ddpm_sample(
     timesteps: np.ndarray,
     noise_seq: Optional[jnp.ndarray] = None,
     clip_denoised: Optional[float] = None,
+    prediction_type: str = "eps",
 ):
     """DDPM ancestral sampling.
 
-    model_fn(x, t) -> eps_hat with t: [B] int32 (original timestep index).
+    model_fn(x, t) -> model output (eps_hat under the default
+    parameterization; see ``to_eps``) with t: [B] int32 (original timestep
+    index).
     x_init: [B, ...] starting noise (or noised prompt latents).
     noise_seq: optional [K, B, ...] pre-drawn noise for bit-matching.
     clip_denoised: optional bound on the implied x0_hat per step (see
@@ -91,7 +112,7 @@ def ddpm_sample(
     def body(x, inp):
         i, t, abar_t, beta_t, alpha_t = inp
         t_vec = jnp.full((batch,), t, jnp.int32)
-        eps = model_fn(x, t_vec)
+        eps = to_eps(model_fn(x, t_vec), x, abar_t, prediction_type)
         if clip_denoised is not None:
             eps = _clip_eps(x, eps, abar_t, clip_denoised)
         mean = (x - (1.0 - alpha_t) / jnp.sqrt(1.0 - abar_t) * eps) \
@@ -117,6 +138,7 @@ def ddim_sample(
     timesteps: np.ndarray,
     eta: float = 0.0,
     clip_denoised: Optional[float] = None,
+    prediction_type: str = "eps",
 ):
     """DDIM sampling (deterministic at eta=0) on a respaced schedule."""
     taus, abar, abar_prev, _, _ = _respaced_coeffs(schedule, timesteps)
@@ -126,7 +148,7 @@ def ddim_sample(
     def body(x, inp):
         i, t, abar_t, abar_p = inp
         t_vec = jnp.full((batch,), t, jnp.int32)
-        eps = model_fn(x, t_vec)
+        eps = to_eps(model_fn(x, t_vec), x, abar_t, prediction_type)
         x0 = (x - jnp.sqrt(1.0 - abar_t) * eps) / jnp.sqrt(abar_t)
         if clip_denoised is not None:
             x0 = jnp.clip(x0, -clip_denoised, clip_denoised)

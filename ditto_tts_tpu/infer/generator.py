@@ -125,10 +125,12 @@ def build_synthesize(cfg: PipelineConfig, *, num_steps: Optional[int] = None,
         if kind == "ddim":
             refined = ddim_sample(model_fn, k_samp, x_init, schedule, taus,
                                   eta=cfg.sampler.ddim_eta,
-                                  clip_denoised=cfg.sampler.clip_denoised)
+                                  clip_denoised=cfg.sampler.clip_denoised,
+                                  prediction_type=cfg.dit.prediction_type)
         else:
             refined = ddpm_sample(model_fn, k_samp, x_init, schedule, taus,
-                                  clip_denoised=cfg.sampler.clip_denoised)
+                                  clip_denoised=cfg.sampler.clip_denoised,
+                                  prediction_type=cfg.dit.prediction_type)
 
         return latents_to_waveform(params, cfg, refined,
                                    output_length=audio.shape[-1],
@@ -158,7 +160,8 @@ def build_stage_fns(cfg: PipelineConfig, *, num_steps: Optional[int] = None):
         k_init, k_samp = jax.random.split(key)
         x_init = jax.random.normal(k_init, latents.shape, latents.dtype)
         return ddpm_sample(model_fn, k_samp, x_init, schedule, taus,
-                           clip_denoised=cfg.sampler.clip_denoised)
+                           clip_denoised=cfg.sampler.clip_denoised,
+                           prediction_type=cfg.dit.prediction_type)
 
     def vq_decode(params, refined, output_length):
         stacked = jnp.repeat(refined[:, None], 2, axis=1)
@@ -267,7 +270,8 @@ def build_synthesize_with_slp(cfg: PipelineConfig, *,
             return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
 
         refined = ddpm_sample(model_fn, k_samp, x_init, schedule, taus,
-                              clip_denoised=cfg.sampler.clip_denoised)
+                              clip_denoised=cfg.sampler.clip_denoised,
+                              prediction_type=cfg.dit.prediction_type)
         refined = refined * valid[..., None]
         out_len = int(max_frames * cfg.codec.hop_length)
         wav = latents_to_waveform(params, cfg, refined, output_length=out_len)

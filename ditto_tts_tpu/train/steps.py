@@ -58,6 +58,9 @@ def build_ditto_train_step(dit_cfg: DiTConfig, codec_cfg: CodecConfig,
     lr = learning_rate if learning_rate is not None else dit_cfg.learning_rate
     tx = make_adamw(lr, weight_decay)
     schedule = NoiseSchedule.cosine(dit_cfg.diffusion_steps)
+    if dit_cfg.ref_compat and dit_cfg.prediction_type != "eps":
+        raise ValueError("v/x0 prediction assumes the corrected (non-"
+                         "inverted) schedule; ref_compat supports eps only")
 
     def init_state(dit_params) -> Dict:
         return {"params": dit_params, "opt_state": tx.init(dit_params),
@@ -86,7 +89,22 @@ def build_ditto_train_step(dit_cfg: DiTConfig, codec_cfg: CodecConfig,
                          ref_compat=dit_cfg.ref_compat)
         pred = dit_mod.ditto_forward(dit_params, dit_cfg, noisy, text_emb, t,
                                      dropout_key=k_d)
-        return jnp.mean(jnp.square(pred - noise))
+        # target parameterization (config.prediction_type): "eps" is the
+        # reference objective (TrainDiTTO.py:80-85); "v"/"x0" weight the
+        # conditioning gradient evenly across t (see DiTConfig docstring)
+        if dit_cfg.prediction_type == "eps":
+            target = noise
+        else:
+            ab = schedule.alphas_cumprod[t].reshape((b,) + (1,) *
+                                                    (latents.ndim - 1))
+            if dit_cfg.prediction_type == "x0":
+                target = latents
+            elif dit_cfg.prediction_type == "v":
+                target = jnp.sqrt(ab) * noise - jnp.sqrt(1.0 - ab) * latents
+            else:
+                raise ValueError(
+                    f"unknown prediction_type {dit_cfg.prediction_type!r}")
+        return jnp.mean(jnp.square(pred - target))
 
     def step_fn(state, frozen, batch, key) -> Tuple[Dict, Dict]:
         latents, text_emb = encode_batch(frozen, batch)
