@@ -46,20 +46,27 @@ from ditto_tts_tpu.core.config import (AudioConfig, CodecConfig, DiTConfig,
                                        SamplerConfig, VocoderConfig)
 
 H = 64
+# prediction_type="x0" + short T + deterministic DDIM: with eps-prediction
+# the conditioning (text) gradient vanishes at high t (the target is ~the
+# input) so a tiny model samples a mode-averaged blob regardless of text;
+# x0-prediction supervises text->latent directly at every t and the tiny
+# DiT memorizes the 4 modes (closed-loop diag-mse 0.23 vs off-mode 0.49).
 TINY = PipelineConfig(
     audio=AudioConfig(min_audio_seconds=0.5, max_audio_seconds=2.0),
     codec=CodecConfig(num_filters=4, dimension=8, ratios=(8, 5, 4, 2),
                       codebook_size=64, num_quantizers=4, lstm_layers=1),
     nac=NACConfig(hidden_size=H, codebook_size=64),
     dit=DiTConfig(hidden_dim=H, num_layers=2, num_heads=4, time_dim=32,
-                  text_dim=H, diffusion_steps=50, max_token_length=256),
+                  text_dim=H, diffusion_steps=16, max_token_length=256,
+                  prediction_type="x0"),
     vocoder=VocoderConfig(
         num_mels=20, upsample_rates=(8, 8, 4),
         upsample_kernel_sizes=(16, 16, 8), upsample_initial_channel=32,
         resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3),
                                                                (1, 3)),
         compute_dtype="float32", carry_dtype="float32"),
-    sampler=SamplerConfig(num_steps=50, clip_denoised=3.0),
+    sampler=SamplerConfig(num_steps=16, kind="ddim", ddim_eta=0.0,
+                          clip_denoised=3.0),
 )
 TINY_GPT2 = dict(vocab_size=300, n_positions=256, n_embd=H, n_layer=1,
                  n_head=4)

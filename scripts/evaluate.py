@@ -40,7 +40,8 @@ def main():
     p.add_argument("--data-path", required=True)
     p.add_argument("--max-batches", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=4)
-    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--steps", type=int, default=None,
+                   help="sampler steps (default: config value)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="eval_results.json")
     p.add_argument("--encodec", default=None)
@@ -97,12 +98,15 @@ def main():
     if args.config:
         with open(args.config) as f:
             cfg = PipelineConfig.from_json(f.read())
-        cfg = cfg.replace(sampler=cfg.sampler.replace(num_steps=args.steps))
+        if args.steps:
+            cfg = cfg.replace(
+                sampler=cfg.sampler.replace(num_steps=args.steps))
     else:
         dit_cfg = (ref_trained_dit_config() if args.ref_config
                    else DiTConfig(num_layers=12, num_heads=12))
-        cfg = PipelineConfig(dit=dit_cfg,
-                             sampler=SamplerConfig(num_steps=args.steps))
+        cfg = PipelineConfig(
+            dit=dit_cfg,
+            sampler=SamplerConfig(num_steps=args.steps or 50))
     keys = jax.random.split(jax.random.key(args.seed), 8)
 
     def opt(loader, path, fallback, name):
