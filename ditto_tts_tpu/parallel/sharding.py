@@ -34,6 +34,21 @@ _DIT_RULES = [
     (r"mlp_fc2/bias$", P()),
 ]
 
+# SLP duration-predictor decoder (nn/transformer.py layout): same
+# megatron pairing — qkv in_proj row-parallel -> out_proj col-parallel,
+# linear1 row-parallel -> linear2 col-parallel; embedding head, 11-class
+# length predictor and norms replicated (tiny).
+_SLP_RULES = [
+    (r"(self_attn|cross_attn)/in_proj_weight$", P("model", None)),
+    (r"(self_attn|cross_attn)/in_proj_bias$", P("model")),
+    (r"out_proj/weight$", P(None, "model")),
+    (r"out_proj/bias$", P()),
+    (r"linear1/weight$", P("model", None)),
+    (r"linear1/bias$", P("model")),
+    (r"linear2/weight$", P(None, "model")),
+    (r"linear2/bias$", P()),
+]
+
 _GPT2_RULES = [
     (r"c_attn/weight$", P(None, "model")),
     (r"c_attn/bias$", P("model")),
@@ -75,6 +90,10 @@ def dit_param_specs(params: Any) -> Any:
 
 def gpt2_param_specs(params: Any) -> Any:
     return tree_specs(params, _GPT2_RULES)
+
+
+def slp_param_specs(params: Any) -> Any:
+    return tree_specs(params, _SLP_RULES)
 
 
 def replicated_specs(params: Any) -> Any:

@@ -28,11 +28,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from . import sharding as shard_mod
 
 
-def ditto_state_specs(state: Dict) -> Dict:
-    """PartitionSpec tree for a ``build_ditto_train_step`` state
-    ({params, opt_state, step}): TP specs on params, mirrored on AdamW
-    mu/nu, everything else replicated."""
-    param_specs = shard_mod.dit_param_specs(state["params"])
+def state_specs(state: Dict, param_specs: Any) -> Dict:
+    """PartitionSpec tree for a train-step state ({params, opt_state,
+    step}): the given specs on params, mirrored on AdamW mu/nu,
+    everything else replicated."""
     adam_state = state["opt_state"][0]
     opt_specs = (adam_state._replace(count=P(), mu=param_specs,
                                      nu=param_specs),) + tuple(
@@ -41,27 +40,40 @@ def ditto_state_specs(state: Dict) -> Dict:
     return {"params": param_specs, "opt_state": opt_specs, "step": P()}
 
 
+def ditto_state_specs(state: Dict) -> Dict:
+    """TP specs on DiT params (megatron rules), AdamW mirrored."""
+    return state_specs(state, shard_mod.dit_param_specs(state["params"]))
+
+
 def batch_specs(batch: Any) -> Any:
     """Shard every batch leaf's leading axis over "data"."""
     return jax.tree_util.tree_map(lambda _: P("data"), batch)
 
 
-def setup_mesh_training(mesh: Mesh, state: Dict, frozen: Dict
+def setup_mesh_training(mesh: Mesh, state: Dict, frozen: Dict,
+                        param_specs: Any = None
                         ) -> Tuple[Dict, Dict, Callable, Callable]:
     """Place state/frozen on the mesh; return (state, frozen,
     shard_state, shard_batch).
 
+    ``param_specs`` defaults to the DiT TP rules; pass
+    ``sharding.slp_param_specs(state["params"])`` for the SLP decoder or
+    ``sharding.replicated_specs(...)`` for pure-DP (NAC) training.
     ``shard_state`` re-places a host-restored state (checkpoint resume)
     with the same shardings; ``shard_batch`` places one host batch with
     its leading axis split over "data".
     """
-    state_specs = ditto_state_specs(state)
-    state = shard_mod.shard_tree(mesh, state, state_specs)
+    if param_specs is None:
+        specs = ditto_state_specs(state)
+    else:
+        specs = state_specs(state, param_specs)
+    state_specs_tree = specs
+    state = shard_mod.shard_tree(mesh, state, state_specs_tree)
     frozen = shard_mod.shard_tree(mesh, frozen,
                                   shard_mod.replicated_specs(frozen))
 
     def shard_state(s: Dict) -> Dict:
-        return shard_mod.shard_tree(mesh, s, state_specs)
+        return shard_mod.shard_tree(mesh, s, state_specs_tree)
 
     def shard_batch(b: Any) -> Any:
         return shard_mod.shard_tree(mesh, b, batch_specs(b))

@@ -33,6 +33,45 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--log-path", default=None)
     p.add_argument("--encodec", default=None,
                    help="local facebook/encodec_24khz snapshot (safetensors)")
+    p.add_argument("--mesh-data", type=int, default=1,
+                   help="data-parallel mesh axis size")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel mesh axis size")
+
+
+def setup_mesh(args, state, frozen, model_name, param_specs=None):
+    """Shared (data, model) mesh wiring for the train CLIs (north-star
+    config 5; the reference has no counterpart, SURVEY §2.2).
+
+    Returns (state, frozen, shard_state, wrap, mesh_ctx): ``wrap`` maps a
+    batch iterator factory to one that DP-shards each batch; identity
+    when no mesh is requested. ``param_specs`` picks the TP layout
+    (default: DiT megatron rules; see parallel/train_setup.py).
+    """
+    import contextlib
+
+    if args.mesh_data * args.mesh_model <= 1:
+        return state, frozen, None, (lambda it: it), contextlib.nullcontext()
+
+    from ditto_tts_tpu.core.config import MeshConfig
+    from ditto_tts_tpu.parallel import mesh as mesh_mod
+    from ditto_tts_tpu.parallel.train_setup import setup_mesh_training
+
+    mesh_mod.initialize_multihost()
+    mesh = mesh_mod.make_mesh(
+        MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    state, frozen, shard_state, shard_batch = setup_mesh_training(
+        mesh, state, frozen, param_specs)
+    print(f"[{model_name}] mesh {dict(mesh.shape)}: DP batches, "
+          f"sharded trainables; checkpoints gather on save")
+
+    def wrap(it_factory):
+        def it():
+            for b in it_factory():
+                yield shard_batch(b)
+        return it
+
+    return state, frozen, shard_state, wrap, jax.set_mesh(mesh)
 
 
 def load_codec(args, key):

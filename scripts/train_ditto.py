@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import argparse
 
-from _common import add_common_args, gpt2_tokenizer, load_codec, load_gpt2
+from _common import (add_common_args, gpt2_tokenizer, load_codec, load_gpt2,
+                     setup_mesh)
 
 import jax
 
@@ -38,10 +39,6 @@ def main():
                         "(5 layers, 1 head, ref-compat quirks)")
     p.add_argument("--layers", type=int, default=12)
     p.add_argument("--heads", type=int, default=12)
-    p.add_argument("--mesh-data", type=int, default=1,
-                   help="data-parallel mesh axis size")
-    p.add_argument("--mesh-model", type=int, default=1,
-                   help="tensor-parallel mesh axis size (DiT sharded)")
     args = p.parse_args()
 
     dit_cfg = ref_trained_dit_config() if args.ref_config else DiTConfig(
@@ -81,32 +78,13 @@ def main():
         dit_cfg, codec_cfg, gpt2_cfg, learning_rate=args.learning_rate)
     state = init_state(dit_mod.init_ditto(keys[3], dit_cfg))
 
-    # --- (data, model) mesh: DP-sharded batches + TP-sharded DiT --------
-    # (north-star config 5; the reference has no counterpart, SURVEY §2.2)
-    import contextlib
-
-    mesh_ctx = contextlib.nullcontext()
-    shard_state = shard_batch = None
-    if args.mesh_data * args.mesh_model > 1:
-        from ditto_tts_tpu.core.config import MeshConfig
-        from ditto_tts_tpu.parallel import mesh as mesh_mod
-        from ditto_tts_tpu.parallel.train_setup import setup_mesh_training
-
-        mesh_mod.initialize_multihost()
-        mesh = mesh_mod.make_mesh(
-            MeshConfig(data=args.mesh_data, model=args.mesh_model))
-        state, frozen, shard_state, shard_batch = setup_mesh_training(
-            mesh, state, frozen)
-        mesh_ctx = jax.set_mesh(mesh)
-        print(f"[train_ditto] mesh {dict(mesh.shape)}: DP batches, "
-              f"TP DiT params; checkpoints gather on save")
+    # (data, model) mesh: DP-sharded batches + TP-sharded (megatron) DiT
+    state, frozen, shard_state, wrap, mesh_ctx = setup_mesh(
+        args, state, frozen, "train_ditto")
 
     def batch_iter(ds, shuffle, seed=None):
-        def it():
-            for b in batches(ds, batch_size, buckets=buckets,
-                             shuffle=shuffle, seed=seed):
-                yield shard_batch(b) if shard_batch is not None else b
-        return it
+        return wrap(lambda: batches(ds, batch_size, buckets=buckets,
+                                    shuffle=shuffle, seed=seed))
 
     trainer = Trainer(step_fn, eval_fn)
     with mesh_ctx:

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import argparse
 
-from _common import add_common_args, gpt2_tokenizer, load_codec, load_gpt2
+from _common import (add_common_args, gpt2_tokenizer, load_codec, load_gpt2,
+                     setup_mesh)
 
 import jax
 
@@ -57,17 +58,26 @@ def main():
         learning_rate=args.learning_rate)
     state = init_state(nac_mod.init_nac_trainable(keys[2], nac_cfg))
 
+    # pure-DP mesh: the NAC trainables (embedding head + VQ codebooks) are
+    # small, so they replicate; batches DP-shard over "data"
+    from ditto_tts_tpu.parallel.sharding import replicated_specs
+    state, frozen, shard_state, wrap, mesh_ctx = setup_mesh(
+        args, state, frozen, "train_nac",
+        param_specs=replicated_specs(state["params"]))
+
     trainer = Trainer(step_fn, eval_fn)
-    trainer.fit(
-        state, frozen,
-        train_batches=lambda: batches(train_ds, batch_size, buckets=buckets,
-                                      seed=args.seed),
-        val_batches=(lambda: batches(val_ds, batch_size, buckets=buckets,
-                                     shuffle=False)) if val_ds else None,
-        epochs=args.epochs, key=keys[3], model_name="NAC",
-        learning_rate=args.learning_rate or nac_cfg.learning_rate,
-        checkpoint_dir=args.checkpoint_dir, checkpoint_interval=5,
-        log_path=args.log_path)
+    with mesh_ctx:
+        trainer.fit(
+            state, frozen,
+            train_batches=wrap(lambda: batches(
+                train_ds, batch_size, buckets=buckets, seed=args.seed)),
+            val_batches=wrap(lambda: batches(
+                val_ds, batch_size, buckets=buckets,
+                shuffle=False)) if val_ds else None,
+            epochs=args.epochs, key=keys[3], model_name="NAC",
+            learning_rate=args.learning_rate or nac_cfg.learning_rate,
+            checkpoint_dir=args.checkpoint_dir, checkpoint_interval=5,
+            log_path=args.log_path, shard_state=shard_state)
 
 
 if __name__ == "__main__":

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import argparse
 
-from _common import add_common_args, load_byt5, load_codec
+from _common import add_common_args, load_byt5, load_codec, setup_mesh
 
 import jax
 
@@ -50,17 +50,25 @@ def main():
         slp_cfg, codec_cfg, byt5_cfg, learning_rate=args.learning_rate)
     state = init_state(slp_mod.init_slp_trainable(keys[2], slp_cfg))
 
+    # (data, model) mesh: DP batches + megatron-TP decoder blocks
+    from ditto_tts_tpu.parallel.sharding import slp_param_specs
+    state, frozen, shard_state, wrap, mesh_ctx = setup_mesh(
+        args, state, frozen, "train_slp",
+        param_specs=slp_param_specs(state["params"]))
+
     trainer = Trainer(step_fn, eval_fn)
-    trainer.fit(
-        state, frozen,
-        train_batches=lambda: batches(train_ds, batch_size, buckets=buckets,
-                                      seed=args.seed),
-        val_batches=(lambda: batches(val_ds, batch_size, buckets=buckets,
-                                     shuffle=False)) if val_ds else None,
-        epochs=args.epochs, key=keys[3], model_name="SLP",
-        learning_rate=args.learning_rate or slp_cfg.learning_rate,
-        checkpoint_dir=args.checkpoint_dir, checkpoint_interval=5,
-        log_path=args.log_path)
+    with mesh_ctx:
+        trainer.fit(
+            state, frozen,
+            train_batches=wrap(lambda: batches(
+                train_ds, batch_size, buckets=buckets, seed=args.seed)),
+            val_batches=wrap(lambda: batches(
+                val_ds, batch_size, buckets=buckets,
+                shuffle=False)) if val_ds else None,
+            epochs=args.epochs, key=keys[3], model_name="SLP",
+            learning_rate=args.learning_rate or slp_cfg.learning_rate,
+            checkpoint_dir=args.checkpoint_dir, checkpoint_interval=5,
+            log_path=args.log_path, shard_state=shard_state)
 
 
 if __name__ == "__main__":

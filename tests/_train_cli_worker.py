@@ -16,8 +16,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import train_ditto
-
 if __name__ == "__main__":
-    sys.argv = ["train_ditto.py"] + sys.argv[1:]
-    train_ditto.main()
+    # first arg selects the entry point: ditto (default) | nac | slp
+    which = "ditto"
+    argv = sys.argv[1:]
+    if argv and argv[0] in ("ditto", "nac", "slp"):
+        which, argv = argv[0], argv[1:]
+    import importlib
+    mod = importlib.import_module(f"train_{which}")
+    sys.argv = [f"train_{which}.py"] + argv
+    mod.main()

@@ -56,3 +56,23 @@ def test_mesh_cli_train_checkpoint_resume(tmp_path):
     out2 = _run(common + ["--epochs", "2"])
     assert "resumed from" in out2, out2[-2000:]
     assert os.path.exists(os.path.join(ckpt_dir, "DiTTO_epoch_2.npz"))
+
+
+def test_mesh_cli_train_nac_and_slp(tmp_path):
+    """NAC (pure-DP replicated trainables) and SLP (megatron-TP decoder)
+    through their real CLIs on the 8-device virtual mesh."""
+    corpus = _corpus(tmp_path, n=8)
+
+    nac_dir = str(tmp_path / "ckpt_nac")
+    out = _run(["nac", "--train-path", corpus, "--checkpoint-dir", nac_dir,
+                "--mesh-data", "8", "--mesh-model", "1",
+                "--batch-size", "8", "--nb-samples", "8", "--epochs", "1"])
+    assert "mesh {'data': 8, 'model': 1}" in out, out[-2000:]
+    assert os.path.exists(os.path.join(nac_dir, "NAC_final.npz"))
+
+    slp_dir = str(tmp_path / "ckpt_slp")
+    out = _run(["slp", "--train-path", corpus, "--checkpoint-dir", slp_dir,
+                "--mesh-data", "2", "--mesh-model", "4",
+                "--batch-size", "8", "--nb-samples", "8", "--epochs", "1"])
+    assert "mesh {'data': 2, 'model': 4}" in out, out[-2000:]
+    assert os.path.exists(os.path.join(slp_dir, "SLP_final.npz"))
