@@ -26,7 +26,9 @@ from ..core.config import VocoderConfig
 from ..nn.conv import (conv1d, conv1d_nlc, conv1d_nlc_gemm,
                        conv_transpose1d_poly, pad1d)
 from ..ops.snake import (anti_aliased_activation,
-                         polyphase_anti_aliased_activation, snake, snake_beta)
+                         polyphase_anti_aliased_activation,
+                         polyphase_anti_aliased_activation_gemm,
+                         snake, snake_beta)
 
 
 def _get_padding(k: int, d: int) -> int:
@@ -149,10 +151,24 @@ def _act_nlc(x, act_params, cfg: VocoderConfig, impl: str):
             return fused_snake_nlc(x, act_params["alpha"], beta,
                                    logscale=cfg.snake_logscale)
         impl = "polyphase"
+    if impl == "polyphase_gemm":
+        # the GEMM variant runs its interior in [B, C, T] (time-minor)
+        if cfg.activation == "snakebeta":
+            def fn_cm(v):
+                return snake_beta(v, act_params["alpha"],
+                                  act_params["beta"],
+                                  logscale=cfg.snake_logscale,
+                                  channel_axis=1)
+        else:
+            def fn_cm(v):
+                return snake(v, act_params["alpha"],
+                             logscale=cfg.snake_logscale, channel_axis=1)
+        return polyphase_anti_aliased_activation_gemm(x, fn_cm)
     if impl != "polyphase":
         raise NotImplementedError(
-            "nlc layout supports aa_impl in ('polyphase', 'fused_pallas') "
-            f"only (got {impl!r}); use layout='ncl' for the oracle paths")
+            "nlc layout supports aa_impl in ('polyphase', 'polyphase_gemm',"
+            f" 'fused_pallas') only (got {impl!r}); use layout='ncl' for "
+            "the oracle paths")
     return polyphase_anti_aliased_activation(x, fn, time_axis=1)
 
 

@@ -133,3 +133,47 @@ def polyphase_anti_aliased_activation(x, act_fn, *, kernel_size: int = 12,
     o_p = jnp.concatenate([rep(lval, half - 3), so,
                            rep(rval, half - 4)], axis=axis)
     return taps(h[0::2], 0, o_p, t) + taps(h[1::2], 0, e_p, t)
+
+
+def polyphase_anti_aliased_activation_gemm(x, act_fn, *,
+                                           kernel_size: int = 12):
+    """Same math as ``polyphase_anti_aliased_activation`` with the four
+    6-tap FIRs lowered as banded GEMMs (ops/fir_gemm.py) — the MXU
+    formulation for the TPU fast path.
+
+    x: [B, T, C] (channels-last).  The band contraction must run on the
+    minor axis to avoid a relayout per FIR, so the activation transposes
+    to [B, C, T] once on entry and back once on exit — two bandwidth
+    passes total instead of XLA's ~per-tap materialization of the slice
+    form.  ``act_fn`` must accept the channels-second layout (pass
+    channel_axis=1).  Identical values up to fp summation order within a
+    tap.
+    """
+    if kernel_size != 12:
+        raise ValueError("polyphase offsets are derived for kernel_size=12")
+    from .fir_gemm import fir_gemm_t
+
+    half = kernel_size // 2
+    h = kaiser_sinc_filter1d(0.25, 0.3, kernel_size)
+    pad = half - 1
+    t = x.shape[1]
+    xt = x.transpose(0, 2, 1)                        # [B, C, T]
+
+    def rep(v, n):
+        return jnp.repeat(v, n, axis=2)
+
+    xt = jnp.concatenate([rep(xt[:, :, :1], pad), xt,
+                          rep(xt[:, :, -1:], pad)], axis=2)
+    e = fir_gemm_t(xt, 2.0 * h[0::2], pad - 3, t)
+    o = fir_gemm_t(xt, 2.0 * h[1::2], pad - 2, t)
+    se = act_fn(e)
+    so = act_fn(o)
+
+    lval = se[:, :, :1]
+    rval = so[:, :, -1:]
+    e_p = jnp.concatenate([rep(lval, half - 4), se, rep(rval, half - 3)],
+                          axis=2)
+    o_p = jnp.concatenate([rep(lval, half - 3), so, rep(rval, half - 4)],
+                          axis=2)
+    z = fir_gemm_t(o_p, h[0::2], 0, t) + fir_gemm_t(e_p, h[1::2], 0, t)
+    return z.transpose(0, 2, 1)
