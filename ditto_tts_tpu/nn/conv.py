@@ -142,6 +142,11 @@ def conv1d_nlc_gemm(x, weight, bias=None, *, dilation=1, compute_dtype=None):
         weight = weight.astype(compute_dtype)
     k = weight.shape[-1]
     t_out = x.shape[1] - (k - 1) * dilation
+    # fp32 inter-tap accumulation: XLA materializes the partials in HBM
+    # (the dominant conv cost at ~2 ms/conv) but a bf16 carry costs ~2 dB
+    # of output SNR (drops below the 40 dB contract in
+    # tests/test_vocoder.py) — the Pallas kernel in ops/conv_pallas.py
+    # keeps the fp32 accumulator in VMEM instead.
     acc = None
     for m in range(k):
         xm = jax.lax.slice_in_dim(x, m * dilation, m * dilation + t_out,
