@@ -173,9 +173,14 @@ class VocoderConfig(_JsonMixin):
     activation: str = "snakebeta"
     snake_logscale: bool = True
     use_anti_aliasing: bool = True     # anti-aliased (2x up/down) activation
-    # "polyphase" (exact, XLA-fused, TPU default) | "composed" (up/act/down
-    # as convs; oracle) | "fused_pallas" (opt-in; hangs the tunneled
-    # single-chip backend, see CLAUDE.md)
+    # "polyphase" (exact slice-form, XLA-fused, TPU default) |
+    # "polyphase_gemm" (nlc only: the four 6-tap FIRs as banded GEMMs,
+    # ops/fir_gemm.py) | "composed" (up/act/down as convs; oracle —
+    # requires layout="ncl", the nlc path raises) | "fused_pallas" (nlc:
+    # dispatches to the validated blocked NLC kernel
+    # ops/snake_pallas_nlc.py for widths >= 96, falls back to polyphase
+    # below; ncl: the round-1 ANY-space kernel that hangs the tunneled
+    # backend — see CLAUDE.md — so never default)
     aa_impl: str = "polyphase"
     # signal carry layout: "ncl" (torch-like [B, C, T]; oracle paths) |
     # "nlc" (channels-last [B, T, C]) — with conv_impl="gemm" the nlc

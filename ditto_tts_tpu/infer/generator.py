@@ -217,7 +217,8 @@ def build_synthesize_recorded(cfg: PipelineConfig, *,
             return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
 
         refined = ddpm_sample(model_fn, jax.random.key(0), x_init, schedule,
-                              taus, noise_seq=step_noise)
+                              taus, noise_seq=step_noise,
+                              prediction_type=cfg.dit.prediction_type)
 
         stacked = jnp.repeat(refined[:, None], 2, axis=1)  # quirk #8 inverse
         indices = rvq_mod.vq_indices(params.vector_quantizer, stacked,

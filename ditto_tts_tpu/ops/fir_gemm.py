@@ -65,34 +65,3 @@ def fir_gemm_t(x, taps, start: int, t_out: int):
         preferred_element_type=jnp.float32)            # [B, C, nb, TB]
     out = out.astype(x.dtype).reshape(b, c, nb * _TB)
     return jax.lax.slice_in_dim(out, 0, t_out, axis=2)
-
-
-def fir_gemm(x, taps, start: int, t_out: int):
-    """out[b, t, c] = sum_m taps[m] * x[b, t + start + m, c], t < t_out.
-
-    x: [B, T_in, C] (already edge-padded by the caller so every index is
-    in range: needs start >= 0 and t_out - 1 + start + len(taps) - 1 <
-    T_in).  Computes via 128-row blocked banded GEMM in x.dtype operands
-    with fp32 accumulation; returns x.dtype.
-    """
-    taps = tuple(float(t) for t in taps)
-    assert start >= 0
-    b, t_in, c = x.shape
-    nb = -(-t_out // _TB)
-    # rows needed: [start, start + nb*TB + HALO) for the windows, plus the
-    # shifted-reshape trick below reads a full extra block
-    need = start + (nb + 1) * _TB
-    if need > t_in:
-        x = jnp.pad(x, ((0, 0), (0, need - t_in), (0, 0)))
-    main = jax.lax.slice_in_dim(x, start, start + nb * _TB, axis=1)
-    main = main.reshape(b, nb, _TB, c)
-    ext = jax.lax.slice_in_dim(x, start + _TB, start + _TB + nb * _TB,
-                               axis=1).reshape(b, nb, _TB, c)
-    win = jnp.concatenate([main, ext[:, :, :_HALO]], axis=2)
-    a = _band_matrix(taps, str(x.dtype))
-    out = jax.lax.dot_general(
-        win, a,
-        dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [B, nb, C, TB]
-    out = out.astype(x.dtype).transpose(0, 1, 3, 2).reshape(b, nb * _TB, c)
-    return jax.lax.slice_in_dim(out, 0, t_out, axis=1)

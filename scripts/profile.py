@@ -101,7 +101,9 @@ def cmd_bigvgan(args):
         ("no anti-aliasing (plain snakebeta)",
          v.replace(use_anti_aliasing=False)),
         ("polyphase AA", v.replace(aa_impl="polyphase")),
-        ("composed AA (up/snake/down)", v.replace(aa_impl="composed")),
+        # composed is an NCL-only oracle path (nlc layout raises)
+        ("composed AA (up/snake/down)", v.replace(aa_impl="composed",
+                                                  layout="ncl")),
     ]
     for name, vc in variants:
         def fn(p, m, vc=vc):
@@ -125,8 +127,8 @@ def cmd_vocoder_stages(args):
 
     print(f"{'polyphase (default)':28s} "
           f"{slope_ms(lambda p, m: voc.bigvgan_forward(p, cfg, m), params, mel):9.2f} ms/call")
-    print(f"{'composed':28s} "
-          f"{slope_ms(lambda p, m: voc.bigvgan_forward(p, cfg, m, aa_impl='composed'), params, mel):9.2f} ms/call")
+    print(f"{'composed (ncl oracle)':28s} "
+          f"{slope_ms(lambda p, m: voc.bigvgan_forward(p, cfg, m, aa_impl='composed', layout='ncl'), params, mel):9.2f} ms/call")
     noaa = cfg.replace(use_anti_aliasing=False)
     print(f"{'no anti-aliasing':28s} "
           f"{slope_ms(lambda p, m: voc.bigvgan_forward(p, noaa, m), params, mel):9.2f} ms/call")

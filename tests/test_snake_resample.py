@@ -104,6 +104,48 @@ def test_polyphase_matches_composed_exactly():
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_fir_gemm_t_matches_slice_form():
+    """Banded-GEMM FIR == the shifted multiply-add form it replaces."""
+    from ditto_tts_tpu.ops.fir_gemm import fir_gemm_t
+
+    rng = np.random.default_rng(11)
+    for b, c, t_in, taps_n, start in [(1, 2, 40, 6, 0), (2, 3, 300, 6, 2),
+                                      (1, 1, 129, 4, 5), (2, 5, 513, 6, 3)]:
+        taps = rng.standard_normal(taps_n)
+        t_out = t_in - start - taps_n + 1
+        x = jnp.asarray(rng.standard_normal((b, c, t_in)), jnp.float32)
+        got = np.asarray(fir_gemm_t(x, taps, start, t_out))
+        xn = np.asarray(x)
+        want = sum(float(taps[m]) * xn[:, :, start + m:start + m + t_out]
+                   for m in range(taps_n))
+        assert got.shape == (b, c, t_out)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_polyphase_gemm_matches_polyphase_oracle():
+    """polyphase_anti_aliased_activation_gemm ([B,T,C]) == the slice-form
+    polyphase path, incl. replicate-pad edges."""
+    from ditto_tts_tpu.ops.snake import polyphase_anti_aliased_activation_gemm
+
+    rng = np.random.default_rng(13)
+    for b, c, t in [(1, 2, 33), (2, 4, 200), (1, 3, 129)]:
+        x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+        alpha = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(c), jnp.float32)
+
+        def fn_tlast(v):  # [B, C, T] slice-form reference, channels axis 1
+            return snake_beta(v, alpha, beta, channel_axis=1)
+
+        def fn_nlc(v):    # [B, T, C] for the oracle with time_axis=1
+            return snake_beta(v, alpha, beta, channel_axis=-1)
+
+        want = np.asarray(
+            polyphase_anti_aliased_activation(x, fn_nlc, time_axis=1))
+        got = np.asarray(
+            polyphase_anti_aliased_activation_gemm(x, fn_tlast))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 def test_anti_aliasing_suppresses_harmonics_above_nyquist():
     """Snake on a near-Nyquist tone creates out-of-band harmonics; the
     anti-aliased path must contain less aliased energy than the plain one."""
