@@ -189,7 +189,10 @@ class VocoderConfig(_JsonMixin):
     layout: str = "nlc"
     # nlc-layout conv lowering: "gemm" (explicit tap-sum of dot_generals —
     # bypasses XLA's 1-D conv emitter, which runs BigVGAN's wide-channel
-    # stages at ~5% of matmul peak on TPU) | "xla" (conv_general_dilated)
+    # stages at ~5% of matmul peak on TPU) | "pallas" (same tap-sum inside
+    # one Pallas kernel with the fp32 accumulator held in VMEM — the gemm
+    # form's fp32 inter-tap partials round-trip HBM, ~2 ms/conv;
+    # ops/conv_pallas.py) | "xla" (conv_general_dilated)
     conv_impl: str = "gemm"
     # conv operand dtype (fp32 accumulation regardless); the conv stack is
     # compute-bound, bf16 runs it at native MXU rate. Set "float32" for

@@ -176,20 +176,34 @@ def _pad_time(x, pad):
     return jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
 
 
-def _conv_same_nlc(p, x, *, dilation=1, cdt=None, gemm=True):
+def _resolve_conv_fn(cfg: VocoderConfig):
+    """conv_impl -> the channels-last VALID/stride-1 conv lowering."""
+    if cfg.conv_impl == "pallas":
+        import jax as _jax
+        from ..ops.conv_pallas import conv1d_nlc_pallas
+        import functools
+        # interpret=True off-TPU so CPU tests exercise the same code path
+        return functools.partial(
+            conv1d_nlc_pallas,
+            interpret=_jax.default_backend() != "tpu")
+    return conv1d_nlc_gemm if cfg.conv_impl == "gemm" else conv1d_nlc
+
+
+def _conv_same_nlc(p, x, *, dilation=1, cdt=None, conv_fn=conv1d_nlc_gemm):
     k = p["weight"].shape[-1]
-    cf = conv1d_nlc_gemm if gemm else conv1d_nlc
-    return cf(_pad_time(x, _get_padding(k, dilation)), p["weight"],
-              p.get("bias"), dilation=dilation, compute_dtype=cdt)
+    if p["weight"].shape[0] < 8:
+        conv_fn = conv1d_nlc_gemm   # pallas needs >=8 output lanes
+    return conv_fn(_pad_time(x, _get_padding(k, dilation)), p["weight"],
+                   p.get("bias"), dilation=dilation, compute_dtype=cdt)
 
 
-def _amp_block_nlc(p, cfg, x, dilations, impl, cdt, gemm):
+def _amp_block_nlc(p, cfg, x, dilations, impl, cdt, conv_fn):
     for i in range(len(p["convs1"])):
         xt = _act_nlc(x, p["act1"][i], cfg, impl)
         xt = _conv_same_nlc(p["convs1"][i], xt, dilation=dilations[i],
-                            cdt=cdt, gemm=gemm)
+                            cdt=cdt, conv_fn=conv_fn)
         xt = _act_nlc(xt, p["act2"][i], cfg, impl)
-        xt = _conv_same_nlc(p["convs2"][i], xt, cdt=cdt, gemm=gemm)
+        xt = _conv_same_nlc(p["convs2"][i], xt, cdt=cdt, conv_fn=conv_fn)
         x = x + xt
     return x
 
@@ -198,27 +212,27 @@ def _bigvgan_forward_nlc(params, cfg: VocoderConfig, mel, impl: str):
     """Same math as the NCL body, carried [B, T, C] end to end (one
     transpose in, one out)."""
     cdt = jnp.dtype(cfg.compute_dtype)
-    gemm = cfg.conv_impl == "gemm"
+    conv_fn = _resolve_conv_fn(cfg)
     x = mel.astype(cfg.carry_dtype).transpose(0, 2, 1)     # [B, T, C]
-    x = _conv_same_nlc(params["conv_pre"], x, cdt=cdt, gemm=gemm)
+    x = _conv_same_nlc(params["conv_pre"], x, cdt=cdt, conv_fn=conv_fn)
     num_kernels = len(cfg.resblock_kernel_sizes)
     for i, rate in enumerate(cfg.upsample_rates):
         k = cfg.upsample_kernel_sizes[i]
         up = params["ups"][i]
         y = conv_transpose1d_poly(x, up["weight"], up.get("bias"),
                                   stride=rate, compute_dtype=cdt,
-                                  layout="nlc", gemm=gemm)
+                                  layout="nlc", conv_fn=conv_fn)
         trim = (k - rate) // 2
         if trim:
             y = y[:, trim:-trim]
         acc = None
         for j, rb in enumerate(params["resblocks"][i]):
             out = _amp_block_nlc(rb, cfg, y, cfg.resblock_dilation_sizes[j],
-                                 impl, cdt, gemm)
+                                 impl, cdt, conv_fn)
             acc = out if acc is None else acc + out
         x = acc / num_kernels
     x = _act_nlc(x, params["act_post"], cfg, impl)
-    x = _conv_same_nlc(params["conv_post"], x, cdt=cdt, gemm=gemm)
+    x = _conv_same_nlc(params["conv_post"], x, cdt=cdt, conv_fn=conv_fn)
     return jnp.clip(x.astype(jnp.float32), -1.0, 1.0).transpose(0, 2, 1)
 
 

@@ -39,10 +39,14 @@ def conv1d(x, weight, bias=None, *, stride=1, dilation=1, groups=1,
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
-    ).astype(out_dtype)
+    )
+    # bias joins the fp32 accumulator BEFORE the output cast: adding an
+    # fp32 bias to an already-cast bf16 result would silently promote the
+    # carried signal back to fp32 (jnp type promotion), doubling the HBM
+    # traffic of every downstream op
     if bias is not None:
-        y = y + bias[None, :, None]
-    return y
+        y = y + bias[None, :, None].astype(y.dtype)
+    return y.astype(out_dtype)
 
 
 def conv_transpose1d(x, weight, bias=None, *, stride=1, compute_dtype=None):
@@ -62,10 +66,10 @@ def conv_transpose1d(x, weight, bias=None, *, stride=1, compute_dtype=None):
         dimension_numbers=("NCH", "OIH", "NCH"),
         transpose_kernel=True,
         preferred_element_type=jnp.float32,
-    ).astype(out_dtype)
-    if bias is not None:
-        y = y + bias[None, :, None]
-    return y
+    )
+    if bias is not None:  # fp32 add pre-cast; see conv1d
+        y = y + bias[None, :, None].astype(y.dtype)
+    return y.astype(out_dtype)
 
 
 def conv1d_nlc(x, weight, bias=None, *, stride=1, dilation=1, groups=1,
@@ -91,10 +95,10 @@ def conv1d_nlc(x, weight, bias=None, *, stride=1, dilation=1, groups=1,
         dimension_numbers=("NHC", "OIH", "NHC"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
-    ).astype(out_dtype)
-    if bias is not None:
-        y = y + bias[None, None, :]
-    return y
+    )
+    if bias is not None:  # fp32 add pre-cast; see conv1d
+        y = y + bias[None, None, :].astype(y.dtype)
+    return y.astype(out_dtype)
 
 
 def conv_transpose1d_nlc(x, weight, bias=None, *, stride=1,
@@ -114,10 +118,10 @@ def conv_transpose1d_nlc(x, weight, bias=None, *, stride=1,
         dimension_numbers=("NHC", "OIH", "NHC"),
         transpose_kernel=True,
         preferred_element_type=jnp.float32,
-    ).astype(out_dtype)
-    if bias is not None:
-        y = y + bias[None, None, :]
-    return y
+    )
+    if bias is not None:  # fp32 add pre-cast; see conv1d
+        y = y + bias[None, None, :].astype(y.dtype)
+    return y.astype(out_dtype)
 
 
 def conv1d_nlc_gemm(x, weight, bias=None, *, dilation=1, compute_dtype=None):
@@ -156,10 +160,9 @@ def conv1d_nlc_gemm(x, weight, bias=None, *, dilation=1, compute_dtype=None):
             dimension_numbers=(((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # [N, T, O]
         acc = ym if acc is None else acc + ym
-    y = acc.astype(out_dtype)
-    if bias is not None:
-        y = y + bias[None, None, :]
-    return y
+    if bias is not None:  # fp32 add pre-cast; see conv1d
+        acc = acc + bias[None, None, :].astype(acc.dtype)
+    return acc.astype(out_dtype)
 
 
 def _poly_weight(weight, r):
@@ -179,7 +182,8 @@ def _poly_weight(weight, r):
 
 
 def conv_transpose1d_poly(x, weight, bias=None, *, stride=1,
-                          compute_dtype=None, layout="ncl", gemm=False):
+                          compute_dtype=None, layout="ncl", gemm=False,
+                          conv_fn=None):
     """Transposed conv lowered as ONE dense VALID conv + reshape.
 
     Exactly equal to ``conv_transpose1d(_nlc)`` (same output length
@@ -202,20 +206,22 @@ def conv_transpose1d_poly(x, weight, bias=None, *, stride=1,
     w2 = _poly_weight(weight, r)
     if layout == "nlc":
         xp = jnp.pad(x, ((0, 0), (taps - 1, taps - 1), (0, 0)))
-        cf = conv1d_nlc_gemm if gemm else conv1d_nlc
+        # conv_fn overrides the lowering of the equivalent forward conv
+        # (e.g. ops/conv_pallas.py's VMEM-accumulator kernel)
+        cf = conv_fn or (conv1d_nlc_gemm if gemm else conv1d_nlc)
         y = cf(xp, w2, None, compute_dtype=compute_dtype)
         n, u, _ = y.shape
         y = y.reshape(n, u * r, o)
-        if bias is not None:
-            y = y + bias[None, None, :]
+        if bias is not None:  # cast: fp32 bias must not promote a bf16 carry
+            y = y + bias[None, None, :].astype(y.dtype)
         return y
     xp = jnp.pad(x, ((0, 0), (0, 0), (taps - 1, taps - 1)))
     y = conv1d(xp, w2, None, compute_dtype=compute_dtype)
     n, _, u = y.shape
     # [N, r*O, U]: channel = p*O + o -> [N, O, U*r] with time = u*r + p
     y = y.reshape(n, r, o, u).transpose(0, 2, 3, 1).reshape(n, o, u * r)
-    if bias is not None:
-        y = y + bias[None, :, None]
+    if bias is not None:  # cast: fp32 bias must not promote a bf16 carry
+        y = y + bias[None, :, None].astype(y.dtype)
     return y
 
 

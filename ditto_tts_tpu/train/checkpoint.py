@@ -7,9 +7,12 @@ semantics and no pickle: arrays go in one compressed .npz keyed by tree
 path, structure (dict keys, list indices, scalars) is reconstructed from
 the keys; history/metadata ride alongside as JSON.
 
-Multi-host: call ``save`` only on process 0 for replicated state (the
-standard JAX pattern); sharded arrays should be gathered by the caller
-(small models here are fully replicated or TP-shardable on restore).
+Multi-host: ``save_checkpoint`` is a COLLECTIVE — every process must call
+it with the same state.  Leaves that are not fully addressable (sharded
+across processes) are allgathered to their global value on every host
+(``multihost_utils.process_allgather``); only process 0 writes the file.
+Exercised by the 2-process smoke (tests/test_multihost.py) with a state
+sharded across the process boundary.
 """
 
 from __future__ import annotations
@@ -40,8 +43,21 @@ def _path_str(path) -> str:
     return _SEP.join(parts)
 
 
+def _fetch_global(leaf) -> np.ndarray:
+    """Leaf -> host numpy of the GLOBAL value.
+
+    A cross-process-sharded jax.Array is not fully addressable, so
+    ``device_get`` would throw; allgather it instead (collective — every
+    process reaches this call because every process saves the same tree
+    in the same order)."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils as mu
+        return np.asarray(mu.process_allgather(leaf, tiled=True))
+    return np.asarray(jax.device_get(leaf))
+
+
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
-    return {_path_str(path): np.asarray(leaf)
+    return {_path_str(path): _fetch_global(leaf)
             for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]}
 
 
@@ -85,9 +101,15 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 def save_checkpoint(path: str, state: Any,
                     metadata: Optional[Dict] = None) -> None:
     """Write state pytree (+ JSON metadata) to ``path`` (.npz) and
-    ``path + '.json'``."""
+    ``path + '.json'``.
+
+    Collective under multi-process JAX: every process must call (the
+    gather of non-addressable leaves is an allgather); only process 0
+    touches the filesystem."""
+    flat = _flatten(state)
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    flat = _flatten(jax.device_get(state))
     np.savez_compressed(path if path.endswith(".npz") else path + ".npz",
                         **flat)
     if metadata is not None:

@@ -179,7 +179,9 @@ def cmd_layout(args):
         "VARIANTS", "ncl,nlc-xla,nlc-gemm").split(",")
     for v in variants:
         layout = "ncl" if v == "ncl" else "nlc"
-        c = cfg.replace(conv_impl="gemm" if v.endswith("gemm") else "xla")
+        impl = ("pallas" if v.endswith("pallas") else
+                "gemm" if v.endswith("gemm") else "xla")
+        c = cfg.replace(conv_impl=impl)
         fn = jax.jit(lambda p, m, c=c, layout=layout: jnp.sum(
             voc.bigvgan_forward(p, c, m, layout=layout)[..., -8:]))
         t0 = time.perf_counter()

@@ -51,10 +51,12 @@ def test_polyphase_impl_matches_composed():
         lambda a: a + 0.1 if a.ndim == 1 else a, params)
     mel = jnp.asarray(np.random.default_rng(1)
                       .standard_normal((2, 8, 20)).astype(np.float32))
-    # oracle impls only exist in the torch-like ncl layout
-    composed = np.asarray(bigvgan_forward(params, TINY, mel,
+    # impl-equivalence check runs in fp32 (a bf16 carry rounds differently
+    # per impl); oracle impls only exist in the torch-like ncl layout
+    f32 = TINY.replace(compute_dtype="float32", carry_dtype="float32")
+    composed = np.asarray(bigvgan_forward(params, f32, mel,
                                           aa_impl="composed", layout="ncl"))
-    poly = np.asarray(bigvgan_forward(params, TINY, mel,
+    poly = np.asarray(bigvgan_forward(params, f32, mel,
                                       aa_impl="polyphase", layout="ncl"))
     np.testing.assert_allclose(poly, composed, rtol=2e-5, atol=2e-5)
 
@@ -69,12 +71,34 @@ def test_bf16_conv_compute_quality():
     mel = jnp.asarray(np.random.default_rng(2)
                       .standard_normal((2, 8, 40)).astype(np.float32))
     w32 = np.asarray(bigvgan_forward(
-        params, cfg.replace(compute_dtype="float32"), mel))
+        params, cfg.replace(compute_dtype="float32",
+                            carry_dtype="float32"), mel))
     w16 = np.asarray(bigvgan_forward(
-        params, cfg.replace(compute_dtype="bfloat16"), mel))
+        params, cfg.replace(compute_dtype="bfloat16",
+                            carry_dtype="float32"), mel))
     err = ((w16 - w32) ** 2).mean()
     snr = 10 * np.log10((w32 ** 2).mean() / max(err, 1e-20))
     assert snr > 40.0, snr
+
+
+def test_bf16_carry_quality():
+    """Full bf16 fast path (bf16 carry between ops AND bf16 conv operands)
+    vs the all-fp32 reference: the accumulated carry rounding through the
+    ~40 sequential ops costs ~8 dB over the conv-compute-only contract —
+    the >28 dB floor pins the production default."""
+    cfg = TINY.replace(resblock_dilation_sizes=((1, 3, 5),))
+    params = init_bigvgan(jax.random.key(4), cfg)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.05 if a.ndim == 1 else a, params)
+    mel = jnp.asarray(np.random.default_rng(2)
+                      .standard_normal((2, 8, 40)).astype(np.float32))
+    w32 = np.asarray(bigvgan_forward(
+        params, cfg.replace(compute_dtype="float32",
+                            carry_dtype="float32"), mel))
+    w16 = np.asarray(bigvgan_forward(params, cfg, mel))
+    err = ((w16 - w32) ** 2).mean()
+    snr = 10 * np.log10((w32 ** 2).mean() / max(err, 1e-20))
+    assert snr > 28.0, snr
 
 
 @pytest.mark.parametrize("carry", ["float32", "bfloat16"])
