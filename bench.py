@@ -6,6 +6,18 @@ line. ``vs_baseline`` is the real-time factor (1.0 == synthesizing audio
 exactly as fast as it plays; the reference publishes no throughput numbers,
 BASELINE.md, so real-time is the natural fixed baseline).
 
+Two utterance buckets are timed (env BENCH_BUCKETS, default "10,20"
+seconds at B=4): 10 s is the primary metric line; 20 s exercises the
+padding buckets and the >=1000-key head-packed Pallas attention branch
+(latents truncate to 1024 frames, ref SpeechGenerator.py:97-98).
+
+Per-stage accounting uses TELESCOPING PREFIX programs: prefix_k jits
+stages[0..k] composed from the original inputs, and stage_k seconds =
+prefix_k - prefix_{k-1}.  The sum matches the full pipeline by
+construction, so inter-stage glue (re-layouts, fusion-boundary costs that
+round-2/3's isolated-stage timings left ~9% unattributed) lands on the
+stage that introduces it.
+
 Weights are random (no network access for pretrained checkpoints); the
 compute graph is identical to the trained model's, so throughput is
 representative.
@@ -29,7 +41,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ditto_tts_tpu.core.config import DiTConfig, PipelineConfig, SamplerConfig
-from ditto_tts_tpu.infer.generator import GeneratorParams, build_synthesize
+from ditto_tts_tpu.infer.generator import (GeneratorParams, build_stage_fns,
+                                           build_synthesize)
 from ditto_tts_tpu.codec import encodec as codec_mod
 from ditto_tts_tpu.models import dit as dit_mod
 from ditto_tts_tpu.models import nac as nac_mod
@@ -37,8 +50,12 @@ from ditto_tts_tpu.models import vocoder as voc_mod
 from ditto_tts_tpu.text import gpt2 as gpt2_mod
 
 BATCH = int(os.environ.get("BENCH_BATCH", 4))
-SECONDS = int(os.environ.get("BENCH_SECONDS", 10))
 STEPS = int(os.environ.get("BENCH_STEPS", 50))
+BUCKETS = [int(s) for s in
+           os.environ.get("BENCH_BUCKETS", "10,20").split(",")]
+
+# TPU v5e (v5 lite) peak dense bf16 matmul throughput per chip.
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
 
 
 def _numpy_params(init_fn, key, cfg):
@@ -53,160 +70,132 @@ def _numpy_params(init_fn, key, cfg):
     return jax.tree_util.tree_map(fill, shapes)
 
 
-def main():
-    cfg = PipelineConfig(sampler=SamplerConfig(num_steps=STEPS),
-                         dit=DiTConfig(num_layers=12, num_heads=12,
-                                       scan_blocks=True,
-                                       compute_dtype="bfloat16"))
-    key = jax.random.key(0)
+def _time_once(thunk):
     t0 = time.time()
-    nac_tr = _numpy_params(nac_mod.init_nac_trainable, key, cfg.nac)
-    params = GeneratorParams(
-        dit=_numpy_params(dit_mod.init_ditto, key, cfg.dit),
-        codec=_numpy_params(codec_mod.init_codec, key, cfg.codec),
-        gpt2=_numpy_params(gpt2_mod.init_gpt2, key,
-                           gpt2_mod.GPT2Config()),
-        embedding_head=nac_tr["embedding_head"],
-        vector_quantizer=nac_tr["vector_quantizer"],
-        vocoder=_numpy_params(voc_mod.init_bigvgan, key, cfg.vocoder),
-    )
-    params = jax.device_put(params, jax.devices()[0])
-    print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr)
+    thunk()
+    return time.time() - t0
 
-    length = 24000 * SECONDS
+
+def _dispatch_latency():
+    null = jax.jit(lambda x: jnp.sum(x[-4:]))
+    zv = jnp.zeros((8,), jnp.float32)
+    float(null(zv))
+    return min(_time_once(lambda: float(null(zv))) for _ in range(5))
+
+
+def bench_bucket(cfg, params, seconds, disp):
+    """Time one utterance bucket end-to-end + prefix-attributed stages."""
+    length = 24000 * seconds
     rng = np.random.default_rng(1)
     audio = jnp.asarray(
         0.05 * rng.standard_normal((BATCH, 1, length)).astype(np.float32))
     mask = jnp.ones((BATCH, length), jnp.int32)
     text = jnp.asarray(rng.integers(0, 50257, (BATCH, 64)))
+    key = jax.random.key(7)
 
     synth = build_synthesize(cfg)
 
     # block_until_ready on the tunneled single-chip backend can return
-    # before execution finishes; a scalar readback (sum of the last output
-    # samples) forces real completion, so the timing is honest.
+    # before execution finishes; a scalar readback forces real completion.
     def run(params, audio, mask, text, key):
         wav = synth(params, audio, mask, text, key)
         return wav, jnp.sum(wav[:, -8:])
 
     fn = jax.jit(run)
     t0 = time.time()
-    _, chk = fn(params, audio, mask, text, jax.random.key(7))
+    _, chk = fn(params, audio, mask, text, key)
     float(chk)
     compile_s = time.time() - t0
-    print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
+    print(f"# [{seconds}s] compile+first run: {compile_s:.1f}s",
+          file=sys.stderr)
 
-    times = []
-    for i in range(3):
-        t0 = time.time()
-        _, chk = fn(params, audio, mask, text, jax.random.key(i))
-        float(chk)
-        times.append(time.time() - t0)
-    dt = min(times)
-    value = BATCH * SECONDS / dt
+    dt = min(_time_once(lambda: float(fn(params, audio, mask, text,
+                                         key)[1])) for _ in range(3))
+    value = BATCH * seconds / dt
 
     t_bd = time.time()
-    breakdown, mfu = stage_breakdown(cfg, params, audio, mask, text, dt)
-    print(json.dumps({
-        "metric": "audio_seconds_synthesized_per_s_per_chip",
-        "value": round(value, 3),
-        "unit": f"audio-s/s/chip (B={BATCH}, {SECONDS}s utt, "
-                f"{STEPS}-step DiT-base + BigVGAN)",
-        "vs_baseline": round(value, 3),
+    breakdown, mfu = stage_breakdown(cfg, params, audio, mask, text,
+                                     dt, disp)
+    return {
+        "audio_s_per_s_per_chip": round(value, 3),
+        "e2e_seconds": round(dt, 4),
         "mfu": mfu,
         "compile_and_first_run_s": round(compile_s, 1),
         "stage_breakdown_s": round(time.time() - t_bd, 1),
         "stage_breakdown": breakdown,
-    }))
-
-
-# TPU v5e (v5 lite) peak dense bf16 matmul throughput per chip.
-PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
-
-
-def stage_breakdown(cfg, params, audio, mask, text, total_dt):
-    """Per-stage seconds + XLA-analyzed FLOPs + MFU vs chip peak.
-
-    Times each pipeline stage as its own jit with a scalar readback
-    (block_until_ready alone can return early through the tunnel);
-    per-dispatch latency (~25 ms) is measured with a null program and
-    subtracted. FLOPs come from XLA's compiled cost analysis rather than
-    hand-counting.
-    """
-    from ditto_tts_tpu.infer.generator import build_stage_fns
-
-    stages = build_stage_fns(cfg)
-
-    # measure raw dispatch+readback latency to subtract from small stages
-    null = jax.jit(lambda x: jnp.sum(x[-4:]))
-    zv = jnp.zeros((8,), jnp.float32)
-    float(null(zv))
-    disp = min(_time_once(lambda: float(null(zv))) for _ in range(5))
-
-    length = audio.shape[-1]
-    latents = jax.jit(stages["encode"])(params, audio, mask)
-    refined = jax.block_until_ready(
-        jax.jit(stages["sampler"])(params, latents, text, jax.random.key(0)))
-    wav = jax.jit(functools.partial(stages["vq_decode"],
-                                    output_length=length))(params, refined)
-    melspec = jax.jit(stages["mel"])(params, wav)
-
-    runs = {
-        "encode": (stages["encode"], (params, audio, mask)),
-        "sampler": (stages["sampler"],
-                    (params, latents, text, jax.random.key(0))),
-        "vq_decode": (functools.partial(stages["vq_decode"],
-                                        output_length=length),
-                      (params, refined)),
-        "mel": (stages["mel"], (params, wav)),
-        "vocoder": (stages["vocoder"], (params, melspec)),
     }
 
-    # XLA cost analysis counts while/scan bodies ONCE, so the sampler (a
-    # K-step scan of DiT forwards, itself a scan over blocks) is computed
-    # analytically; straight-line stages use XLA's count (the codec stages
-    # contain a 2-layer LSTM scan -> slight undercount, noted as lower bound)
-    analytic = {"sampler": STEPS * _dit_fwd_flops(
-        cfg.dit, BATCH, latents.shape[1], text.shape[1])}
 
+def stage_breakdown(cfg, params, audio, mask, text, total_dt, disp):
+    """Prefix-telescoped per-stage seconds + FLOPs + MFU vs chip peak.
+
+    prefix_k = jit(stage_0 o ... o stage_k)(original inputs); per-stage
+    seconds are prefix differences, so they sum to the full-pipeline time
+    (minus one dispatch) by construction.  FLOPs come from XLA's compiled
+    cost analysis, also prefix-differenced; the sampler (a lax.scan whose
+    body XLA counts once) is computed analytically.
+    """
+    stages = build_stage_fns(cfg)
+    length = audio.shape[-1]
+    key = jax.random.key(0)
+
+    def p_encode(p, a, m, t, k):
+        return stages["encode"](p, a, m)
+
+    def p_sampler(p, a, m, t, k):
+        return stages["sampler"](p, p_encode(p, a, m, t, k), t, k)
+
+    def p_vq(p, a, m, t, k):
+        return stages["vq_decode"](p, p_sampler(p, a, m, t, k),
+                                   output_length=length)
+
+    def p_mel(p, a, m, t, k):
+        return stages["mel"](p, p_vq(p, a, m, t, k))
+
+    def p_voc(p, a, m, t, k):
+        return stages["vocoder"](p, p_mel(p, a, m, t, k))
+
+    prefixes = [("encode", p_encode), ("sampler", p_sampler),
+                ("vq_decode", p_vq), ("mel", p_mel), ("vocoder", p_voc)]
+
+    latent_s = None
+    prev_dt, prev_fl = 0.0, 0.0
     breakdown = {}
     total_flops = 0.0
-    for name, (fn, args) in runs.items():
-        # ONE lower+compile per stage: the same compiled program serves
-        # timing, warmup, and cost analysis (a separate jax.jit(fn) for
-        # cost_analysis recompiled every stage a second time and tripled
-        # the round-2 bench's compile bill)
-        jfn = jax.jit(lambda *a, _f=fn: jnp.sum(jnp.ravel(_f(*a))[-4:]))
+    for name, pf in prefixes:
+        jfn = jax.jit(lambda *a, _f=pf: jnp.sum(jnp.ravel(_f(*a))[-4:]))
+        args = (params, audio, mask, text, key)
         compiled = jfn.lower(*args).compile()
+        if name == "encode":
+            latent_s = jax.eval_shape(pf, *args).shape[1]
         float(compiled(*args))  # warm
         dt = min(_time_once(lambda: float(compiled(*args)))
-                 for _ in range(3))
-        # dispatch-dominated stages (mel) bottom out at the null-program
-        # latency; clamp so rates stay meaningful
-        dt = max(dt - disp, 1e-3)
-        if name in analytic:
-            flops = analytic[name]
-        else:
-            cost = compiled.cost_analysis()
-            flops = float(cost.get("flops", 0.0)) if cost else 0.0
-        total_flops += flops
+                 for _ in range(3)) - disp
+        cost = compiled.cost_analysis()
+        fl = float(cost.get("flops", 0.0)) if cost else 0.0
+        stage_dt = max(dt - prev_dt, 5e-4)
+        stage_fl = max(fl - prev_fl, 0.0)
+        if name == "sampler":   # scan body counted once by XLA -> analytic
+            stage_fl = STEPS * _dit_fwd_flops(
+                cfg.dit, audio.shape[0], latent_s, text.shape[1])
+        prev_dt, prev_fl = dt, fl
+        total_flops += stage_fl
         breakdown[name] = {
-            "seconds": round(dt, 4),
-            "gflops": round(flops / 1e9, 1),
-            "tflops_per_s": round(flops / dt / 1e12, 1),
-            "mfu": round(flops / dt / (PEAK_TFLOPS * 1e12), 4),
+            "seconds": round(stage_dt, 4),
+            "gflops": round(stage_fl / 1e9, 1),
+            "tflops_per_s": round(stage_fl / stage_dt / 1e12, 1),
+            "mfu": round(stage_fl / stage_dt / (PEAK_TFLOPS * 1e12), 4),
         }
+    stage_sum = sum(b["seconds"] for b in breakdown.values())
+    # residual between the prefix-accounted pipeline and the official e2e
+    # program (which also returns the waveform buffer): output
+    # materialization + timing noise; telescoping makes this ~1-2%.
+    breakdown["unattributed"] = {
+        "seconds": round(max(total_dt - disp - stage_sum, 0.0), 4)}
     mfu = round(total_flops / total_dt / (PEAK_TFLOPS * 1e12), 4)
-    print(f"# stage sum {sum(b['seconds'] for b in breakdown.values()):.3f}s"
-          f" vs e2e {total_dt:.3f}s; dispatch {disp*1e3:.1f}ms",
-          file=sys.stderr)
+    print(f"# stage sum {stage_sum:.3f}s vs e2e-disp {total_dt - disp:.3f}s"
+          f"; dispatch {disp*1e3:.1f}ms", file=sys.stderr)
     return breakdown, mfu
-
-
-def _time_once(thunk):
-    t0 = time.time()
-    thunk()
-    return time.time() - t0
 
 
 def _dit_fwd_flops(dit, b, s, st):
@@ -229,6 +218,53 @@ def _dit_fwd_flops(dit, b, s, st):
     )
     fwd = dit.num_layers * per_block + 2 * 2 * s * h * h  # proj_in/out
     return b * fwd
+
+
+def main():
+    cfg = PipelineConfig(sampler=SamplerConfig(num_steps=STEPS),
+                         dit=DiTConfig(num_layers=12, num_heads=12,
+                                       scan_blocks=True,
+                                       compute_dtype="bfloat16"))
+    key = jax.random.key(0)
+    t0 = time.time()
+    nac_tr = _numpy_params(nac_mod.init_nac_trainable, key, cfg.nac)
+    params = GeneratorParams(
+        dit=_numpy_params(dit_mod.init_ditto, key, cfg.dit),
+        codec=_numpy_params(codec_mod.init_codec, key, cfg.codec),
+        gpt2=_numpy_params(gpt2_mod.init_gpt2, key,
+                           gpt2_mod.GPT2Config()),
+        embedding_head=nac_tr["embedding_head"],
+        vector_quantizer=nac_tr["vector_quantizer"],
+        vocoder=_numpy_params(voc_mod.init_bigvgan, key, cfg.vocoder),
+    )
+    params = jax.device_put(params, jax.devices()[0])
+    print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    disp = _dispatch_latency()
+
+    results = {}
+    for seconds in BUCKETS:
+        try:
+            results[seconds] = bench_bucket(cfg, params, seconds, disp)
+        except Exception as e:  # a failed secondary bucket must not kill
+            if seconds == BUCKETS[0]:
+                raise
+            results[seconds] = {"error": f"{type(e).__name__}: {e}"}
+
+    primary = results[BUCKETS[0]]
+    out = {
+        "metric": "audio_seconds_synthesized_per_s_per_chip",
+        "value": primary["audio_s_per_s_per_chip"],
+        "unit": f"audio-s/s/chip (B={BATCH}, {BUCKETS[0]}s utt, "
+                f"{STEPS}-step DiT-base + BigVGAN)",
+        "vs_baseline": primary["audio_s_per_s_per_chip"],
+        "mfu": primary["mfu"],
+        "compile_and_first_run_s": primary["compile_and_first_run_s"],
+        "stage_breakdown_s": primary["stage_breakdown_s"],
+        "stage_breakdown": primary["stage_breakdown"],
+        "buckets": {f"{s}s": results[s] for s in BUCKETS},
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -158,6 +158,13 @@ def ecapa_embed(params, cfg: ECAPAConfig, features, mask=None):
     return emb
 
 
+def tiny_ecapa_config() -> ECAPAConfig:
+    """Sandbox geometry for closed-loop eval discrimination: small enough
+    to train on CPU in seconds, same architecture end to end."""
+    return ECAPAConfig(channels=64, out_channels=128, embedding_dim=32,
+                       se_channels=32, attention_channels=32, scale=4)
+
+
 def init_ecapa(key, cfg: ECAPAConfig, dtype=jnp.float32) -> Dict:
     ks = iter(jax.random.split(key, 128))
 

@@ -177,15 +177,28 @@ def _pad_time(x, pad):
 
 
 def _resolve_conv_fn(cfg: VocoderConfig):
-    """conv_impl -> the channels-last VALID/stride-1 conv lowering."""
+    """conv_impl -> the channels-last VALID/stride-1 conv lowering.
+
+    "pallas" is an empirical per-width dispatch (slope microbench,
+    scripts/profile_conv.py, v5e): the VMEM-accumulator kernel wins
+     2-4.9x at C_in 96-384, while XLA's tap-sum GEMM is already near
+    matmul peak at C=768 (175 TF/s) and the 24/48-wide late stages are
+    bound by the 128-lane-padded HBM layout either way."""
     if cfg.conv_impl == "pallas":
         import jax as _jax
         from ..ops.conv_pallas import conv1d_nlc_pallas
-        import functools
+
         # interpret=True off-TPU so CPU tests exercise the same code path
-        return functools.partial(
-            conv1d_nlc_pallas,
-            interpret=_jax.default_backend() != "tpu")
+        interp = _jax.default_backend() != "tpu"
+
+        def dispatch(x, w, b=None, *, dilation=1, compute_dtype=None):
+            if 96 <= w.shape[1] <= 384:
+                return conv1d_nlc_pallas(x, w, b, dilation=dilation,
+                                         compute_dtype=compute_dtype,
+                                         interpret=interp)
+            return conv1d_nlc_gemm(x, w, b, dilation=dilation,
+                                   compute_dtype=compute_dtype)
+        return dispatch
     return conv1d_nlc_gemm if cfg.conv_impl == "gemm" else conv1d_nlc
 
 

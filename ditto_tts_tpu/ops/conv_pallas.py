@@ -6,19 +6,21 @@ so the K-1 fp32 partial sums round-trip HBM between taps — at BigVGAN's
 bench geometry (10 s / B=4) that is ~10 HBM passes per conv and the
 dominant conv cost (~2 ms/conv, round-3 ablation).  This kernel performs
 the same tap-sum with the fp32 accumulator held in VMEM: each conv reads
-its input window once and writes its output once, and every tap's
-[block_t, C_in] x [C_in, oc] contraction runs on the MXU.
+its input ~twice (halo operand) and writes its output once, and every
+tap's [block_t, C_in] x [C_in, ocb] contraction runs on the MXU.
 
-Blocking: standard blocked BlockSpecs only (automatic pipelining — manual
-ANY-space DMA deadlocked the tunneled backend, see CLAUDE.md).  Because
-block windows must tile the input, the wrapper materializes an
-overlapped-window view [B, nT, block_t + halo, C] via two static slices
-(same trick as ops/fir_gemm.py) — ~(1 + halo/block_t) extra HBM passes,
-still ~4 passes/conv total vs ~10 for the XLA tap-sum.
+Blocking (v2 — the v1 kernel materialized an overlapped-window array and
+used a fixed 256-row block, which measured 2x SLOWER than the gemm form):
 
-Grid is (batch, out-channel blocks, time blocks), time innermost, so the
-weight block [K, C_in, ocb] stays VMEM-resident across the whole time
-sweep.
+  * the input is passed TWICE with block indices t and t+1, so the kernel
+    assembles [block_t + halo] rows by concatenating two VMEM-resident
+    blocks — no windowed copy of x is ever written to HBM and no fusion
+    barrier is introduced around one;
+  * block_t scales inversely with channel width (~0.4M elements/block),
+    so narrow late stages run 8-16k-row blocks instead of drowning in
+    grid overhead;
+  * grid is (batch, time, oc-blocks) with oc innermost: the x block stays
+    VMEM-resident while the (much smaller) weight blocks cycle.
 
 Behavioral spec: torch Conv1d VALID / stride 1 / rhs dilation (the shape
 every BigVGAN resblock conv and — after the polyphase rewrite,
@@ -36,23 +38,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xw_ref, w_ref, b_ref, o_ref, *, k: int, dil: int, bt: int):
-    x = xw_ref[0, 0]                                    # [bt+halo, C_in]
-    acc = jax.lax.dot_general(
+def _kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, acc_ref, *,
+            k: int, dil: int, bt: int, halo: int):
+    x = jnp.concatenate([xa_ref[0], xb_ref[0][:halo]], axis=0)
+    # in-place accumulation into a VMEM scratch: one live [bt, ocb] fp32
+    # temp at a time (a value-style sum kept all k tap products live and
+    # blew the 16 MB VMEM budget at wide time blocks)
+    acc_ref[...] = b_ref[...] + jax.lax.dot_general(
         x[:bt], w_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # [bt, ocb]
     for m in range(1, k):
-        acc = acc + jax.lax.dot_general(
+        acc_ref[...] += jax.lax.dot_general(
             x[m * dil:m * dil + bt], w_ref[m],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    acc = acc + b_ref[...]                               # fp32, pre-cast
-    o_ref[0] = acc.astype(o_ref.dtype)
+    o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
 def conv1d_nlc_pallas(x, weight, bias=None, *, dilation: int = 1,
-                      compute_dtype=None, block_t: int = 256,
+                      compute_dtype=None, block_t: int = 0,
                       oc_block: int = 256, interpret: bool = False):
     """x: [B, T, C_in]; weight: [O, I, K] (torch conv1d layout); 'VALID'
     padding, stride 1.  Returns [B, T - (K-1)*dilation, O] in x.dtype.
@@ -60,8 +65,7 @@ def conv1d_nlc_pallas(x, weight, bias=None, *, dilation: int = 1,
     Operands are cast to ``compute_dtype`` (bf16 for the MXU); taps
     accumulate in an fp32 VMEM register block; bias joins the fp32
     accumulator before the single output cast (same contract as
-    nn/conv.py).  Falls back assertions: O must be <= oc_block or a
-    multiple of it.
+    nn/conv.py).  ``block_t`` 0 = auto (scaled by channel width).
     """
     out_dtype = x.dtype
     if compute_dtype is None and x.dtype != weight.dtype:
@@ -76,12 +80,6 @@ def conv1d_nlc_pallas(x, weight, bias=None, *, dilation: int = 1,
     t_out = t_in - (k - 1) * dilation
     assert t_out > 0
 
-    halo = (k - 1) * dilation
-    bt = min(block_t, -(-t_out // 16) * 16)
-    halo_a = max(-(-halo // 16) * 16, 16)
-    assert halo_a <= bt, (halo_a, bt)   # window trick reads one extra block
-    nt = -(-t_out // bt)
-
     if o <= oc_block:
         ocb = o
     else:
@@ -91,15 +89,21 @@ def conv1d_nlc_pallas(x, weight, bias=None, *, dilation: int = 1,
                     if o % d == 0), o)
     no = o // ocb
 
-    # overlapped windows [B, nT, bt+halo_a, C] from two static slices
-    need = nt * bt + halo_a + bt        # ext slice reads one block past main
+    halo = (k - 1) * dilation
+    if block_t <= 0:
+        # VMEM-aware: x blocks 2 copies x 2 pipeline buffers (bf16) +
+        # fp32 scratch + one live tap temp + out block, ~5 MB budget
+        denom = 8 * c_in + 12 * ocb
+        block_t = min(max((5_000_000 // denom) // 256 * 256, 256), 4096)
+    bt = min(block_t, -(-t_out // 16) * 16)
+    halo_a = max(-(-halo // 16) * 16, 16)
+    assert halo_a <= bt, (halo_a, bt)   # xb supplies at most one block
+    nt = -(-t_out // bt)
+
+    # pad so block t+1 exists for the last time block
+    need = (nt + 1) * bt
     if need > t_in:
         x = jnp.pad(x, ((0, 0), (0, need - t_in), (0, 0)))
-    main = jax.lax.slice_in_dim(x, 0, nt * bt, axis=1)
-    main = main.reshape(b_, nt, bt, c_in)
-    ext = jax.lax.slice_in_dim(x, bt, bt + nt * bt, axis=1)
-    ext = ext.reshape(b_, nt, bt, c_in)
-    win = jnp.concatenate([main, ext[:, :, :halo_a]], axis=2)
 
     w2 = jnp.transpose(weight, (2, 1, 0))               # [K, I, O]
     b_vec = (bias if bias is not None
@@ -107,16 +111,17 @@ def conv1d_nlc_pallas(x, weight, bias=None, *, dilation: int = 1,
     b_vec = b_vec.reshape(1, o)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, k=k, dil=dilation, bt=bt),
-        grid=(b_, no, nt),
+        functools.partial(_kernel, k=k, dil=dilation, bt=bt, halo=halo_a),
+        grid=(b_, nt, no),
         in_specs=[
-            pl.BlockSpec((1, 1, bt + halo_a, c_in),
-                         lambda b, oi, t: (b, t, 0, 0)),
-            pl.BlockSpec((k, c_in, ocb), lambda b, oi, t: (0, 0, oi)),
-            pl.BlockSpec((1, ocb), lambda b, oi, t: (0, oi)),
+            pl.BlockSpec((1, bt, c_in), lambda b, t, oi: (b, t, 0)),
+            pl.BlockSpec((1, bt, c_in), lambda b, t, oi: (b, t + 1, 0)),
+            pl.BlockSpec((k, c_in, ocb), lambda b, t, oi: (0, 0, oi)),
+            pl.BlockSpec((1, ocb), lambda b, t, oi: (0, oi)),
         ],
-        out_specs=pl.BlockSpec((1, bt, ocb), lambda b, oi, t: (b, t, oi)),
+        out_specs=pl.BlockSpec((1, bt, ocb), lambda b, t, oi: (b, t, oi)),
         out_shape=jax.ShapeDtypeStruct((b_, nt * bt, o), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bt, ocb), jnp.float32)],
         interpret=interpret,
-    )(win, w2, b_vec)
+    )(x, x, w2, b_vec)
     return out[:, :t_out]

@@ -9,14 +9,19 @@ pretrained assets needed):
      chirps with distinct transcripts.
   2. Train a tiny corrected-mode DiTTO (hidden 64, 2L) on it with the
      REAL training step until it memorizes the latent trajectories.
-  3. Run scripts/evaluate.py twice with identical frozen models and
+  3. Train a tiny ASR and a tiny ECAPA speaker embedder on the pipeline's
+     own ORACLE RENDERS (random-init scorers cannot discriminate; trained
+     ones play the role of the reference's frozen s2t-medium/speechbrain
+     ECAPA).
+  4. Run scripts/evaluate.py twice with identical frozen models and
      seeds — once with the random-init DiT, once with the trained
      checkpoint — using the oracle-ref protocol (score against the
      pipeline's own render of the ground-truth latents, since with
      random frozen codec/vocoder the raw waveform is unreachable by
-     construction) and a tiny deterministic random-init ASR.
-  4. Write EVAL_r03.json: trained must beat random on mel-MAE and
-     CER/WER with trained cer < 1.0.
+     construction).
+  5. Write EVAL_r04.json: trained must beat random on mel-MAE and
+     CER/WER with trained cer < 1.0, and on sim_o by a >0.02 cosine
+     margin through the trained embedder.
 
 Protocol matches Experiments.ipynb cells 10-15 (generate over <=5 loader
 batches -> ASR decode -> CER/WER + similarity), adapted to a sandbox with
@@ -170,18 +175,11 @@ def _text_to_s2t_ids(text: str, vocab: dict, eos: int = 2,
     return ids
 
 
-def train_tiny_asr(corpus: str, steps: int, out_path: str):
-    """Train the tiny S2T to transcribe the 4 ORACLE RENDERS (the pipeline's
-    own ground-truth-latent audio, which the oracle-ref protocol scores
-    against). A random-init tiny transformer greedy-decodes to a constant
-    sequence regardless of input, so an untrained ASR cannot discriminate;
-    a trained one decodes the true transcripts for faithful generations and
-    garbage for unfaithful ones — which is exactly what the real frozen
-    s2t-medium provides in the reference protocol
-    (ref: src/model/Speech2Text.py:13-21)."""
-    import optax
-
-    from ditto_tts_tpu import assets
+def _oracle_fbanks(corpus: str):
+    """Render the 4 utterances through the pipeline's ORACLE path
+    (ground-truth latents -> VQ -> codec -> mel -> vocoder) and return
+    their 16 kHz log-mel fbank features — exactly what scripts/evaluate.py
+    feeds the ASR and the speaker embedder."""
     from ditto_tts_tpu.codec import encodec as codec_mod
     from ditto_tts_tpu.data.mls import MLSDataset, batches, default_buckets
     from ditto_tts_tpu.infer.generator import (GeneratorParams,
@@ -191,7 +189,6 @@ def train_tiny_asr(corpus: str, steps: int, out_path: str):
     from ditto_tts_tpu.models import s2t as s2t_mod
     from ditto_tts_tpu.models import vocoder as voc_mod
     from ditto_tts_tpu.text import gpt2 as gpt2_mod
-    from ditto_tts_tpu.train.checkpoint import save_checkpoint
     from _common import gpt2_tokenizer
 
     cfg = TINY
@@ -221,8 +218,7 @@ def train_tiny_asr(corpus: str, steps: int, out_path: str):
     renders = np.asarray(latents_to_waveform(
         params, cfg, lat, output_length=batch["audio"].shape[-1]))
 
-    # fbank features of the renders (what eval's _asr computes)
-    feats, masks = [], []
+    feats = []
     for r in range(renders.shape[0]):
         n = int(batch["padding_mask"][r].sum())
         wav16 = np.interp(np.arange(0, n, 1.5), np.arange(n),
@@ -234,6 +230,26 @@ def train_tiny_asr(corpus: str, steps: int, out_path: str):
     for i, f in enumerate(feats):
         fb[i, :f.shape[0]] = f
         fmask[i, :f.shape[0]] = 1
+    return fb, fmask
+
+
+def train_tiny_asr(corpus: str, steps: int, out_path: str):
+    """Train the tiny S2T to transcribe the 4 ORACLE RENDERS (the pipeline's
+    own ground-truth-latent audio, which the oracle-ref protocol scores
+    against). A random-init tiny transformer greedy-decodes to a constant
+    sequence regardless of input, so an untrained ASR cannot discriminate;
+    a trained one decodes the true transcripts for faithful generations and
+    garbage for unfaithful ones — which is exactly what the real frozen
+    s2t-medium provides in the reference protocol
+    (ref: src/model/Speech2Text.py:13-21)."""
+    import optax
+
+    from ditto_tts_tpu import assets
+    from ditto_tts_tpu.models import s2t as s2t_mod
+    from ditto_tts_tpu.train.checkpoint import save_checkpoint
+
+    keys = jax.random.split(jax.random.key(SEED), 8)
+    fb, fmask = _oracle_fbanks(corpus)
 
     s2t_tok = assets.s2t_mini_tokenizer()
     s2t_cfg = s2t_mod.S2TConfig(
@@ -295,8 +311,81 @@ def train_tiny_asr(corpus: str, steps: int, out_path: str):
     return hyp
 
 
+def train_tiny_ecapa(corpus: str, steps: int, out_path: str):
+    """Train the tiny ECAPA speaker embedder on the 4 ORACLE RENDERS so
+    SIM-o/SIM-r measure something: each sandbox utterance is its own
+    'speaker' (distinct f0), plus a pure-noise garbage class, trained as
+    5-way classification through the embedding. After training, faithful
+    generations embed near their utterance's render (high cosine) while a
+    random-DiT's garbage embeds near the noise class — the role the real
+    frozen speechbrain ECAPA plays in the reference protocol
+    (Experiments.ipynb cell 14)."""
+    import optax
+
+    from ditto_tts_tpu.models import ecapa as ecapa_mod
+    from ditto_tts_tpu.train.checkpoint import save_checkpoint
+
+    keys = jax.random.split(jax.random.key(SEED + 17), 4)
+    fb, fmask = _oracle_fbanks(corpus)
+    n_spk = fb.shape[0]
+
+    cfg = ecapa_mod.tiny_ecapa_config()
+    params = ecapa_mod.init_ecapa(keys[0], cfg)
+    head = 0.1 * jax.random.normal(keys[1],
+                                   (cfg.embedding_dim, n_spk + 1))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init((params, head))
+    labels = jnp.concatenate([jnp.arange(n_spk),
+                              jnp.full((n_spk,), n_spk)])  # noise class
+
+    fbj, fmj = jnp.asarray(fb), jnp.asarray(fmask)
+
+    def loss_fn(ph, key):
+        p, h = ph
+        k1, k2 = jax.random.split(key)
+        aug = fbj + 0.3 * jax.random.normal(k1, fbj.shape)
+        noise = jax.random.normal(k2, fbj.shape) * jnp.std(fbj)
+        x = jnp.concatenate([aug, noise])
+        emb = ecapa_mod.ecapa_embed(p, cfg, x,
+                                    jnp.concatenate([fmj, fmj]))
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+        logits = 10.0 * emb @ h
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        return jnp.mean(ce)
+
+    @jax.jit
+    def step(ph, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(ph, key)
+        updates, opt_state = tx.update(grads, opt_state, ph)
+        return optax.apply_updates(ph, updates), opt_state, loss
+
+    t0 = time.time()
+    ph = (params, head)
+    for i in range(steps):
+        ph, opt_state, loss = step(ph, opt_state, jax.random.key(2000 + i))
+        if i % 200 == 0 or i == steps - 1:
+            print(f"[ecapa] step {i}: ce {float(loss):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    params = ph[0]
+
+    # sanity: render embeddings separate from noise embeddings
+    emb = np.asarray(ecapa_mod.ecapa_embed(params, cfg, fbj, fmj))
+    emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+    noise = np.asarray(ecapa_mod.ecapa_embed(
+        params, cfg,
+        jnp.asarray(np.random.default_rng(9).standard_normal(fb.shape)
+                    .astype(np.float32) * fb.std()), fmj))
+    noise = noise / np.linalg.norm(noise, axis=-1, keepdims=True)
+    self_sim = float(np.mean(np.diag(emb @ emb.T)))
+    cross = emb @ noise.T
+    print(f"[ecapa] render self-sim {self_sim:.3f}; render-vs-noise "
+          f"cosine mean {float(cross.mean()):.3f}")
+    save_checkpoint(out_path, {"params": params})
+
+
 def run_eval(corpus: str, cfg_path: str, out_path: str,
-             ditto_ckpt: str = None, s2t_ckpt: str = None) -> dict:
+             ditto_ckpt: str = None, s2t_ckpt: str = None,
+             ecapa_ckpt: str = None) -> dict:
     import evaluate as eval_mod
 
     from ditto_tts_tpu import assets
@@ -305,7 +394,8 @@ def run_eval(corpus: str, cfg_path: str, out_path: str,
             "--out", out_path, "--max-batches", "1", "--batch-size", "4",
             "--seed", str(SEED), "--oracle-ref", "--lenient-duration",
             "--s2t", s2t_ckpt or "random", "--s2t-tiny",
-            "--s2t-vocab", assets.S2T_MINI_VOCAB, "--ecapa", "random",
+            "--s2t-vocab", assets.S2T_MINI_VOCAB,
+            "--ecapa", ecapa_ckpt or "random", "--ecapa-tiny",
             "--smoke-ortho",
             "--gpt2-config", json.dumps(TINY_GPT2)]
     if ditto_ckpt:
@@ -324,8 +414,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--train-steps", type=int, default=3000)
     ap.add_argument("--asr-steps", type=int, default=1500)
+    ap.add_argument("--ecapa-steps", type=int, default=800)
     ap.add_argument("--workdir", default="/tmp/eval_discrimination")
-    ap.add_argument("--out", default="EVAL_r03.json")
+    ap.add_argument("--out", default="EVAL_r04.json")
     args = ap.parse_args()
 
     corpus = os.path.join(args.workdir, "mls")
@@ -345,34 +436,55 @@ def main():
         print(f"[asr] reusing {asr_ckpt}")
     else:
         train_tiny_asr(corpus, args.asr_steps, asr_ckpt)
+    ecapa_ckpt = os.path.join(args.workdir, "ECAPA_tiny_trained.npz")
+    if os.path.exists(ecapa_ckpt):
+        print(f"[ecapa] reusing {ecapa_ckpt}")
+    else:
+        train_tiny_ecapa(corpus, args.ecapa_steps, ecapa_ckpt)
 
     print("[eval] random-weights run", flush=True)
     random_res = run_eval(corpus, cfg_path,
                           os.path.join(args.workdir, "random.json"),
-                          s2t_ckpt=asr_ckpt)
+                          s2t_ckpt=asr_ckpt, ecapa_ckpt=ecapa_ckpt)
     print("[eval] trained-weights run", flush=True)
     trained_res = run_eval(corpus, cfg_path,
                            os.path.join(args.workdir, "trained.json"),
-                           ditto_ckpt=ckpt, s2t_ckpt=asr_ckpt)
+                           ditto_ckpt=ckpt, s2t_ckpt=asr_ckpt,
+                           ecapa_ckpt=ecapa_ckpt)
 
+    sim_o_margin = (trained_res.get("sim_o", 0.0)
+                    - random_res.get("sim_o", 0.0))
+    sim_r_margin = (trained_res.get("sim_r", 0.0)
+                    - random_res.get("sim_r", 0.0))
     report = {
         "protocol": (
             "Closed-loop discrimination (Experiments.ipynb cells 10-15 "
             "protocol on a sandbox corpus): tiny corrected-mode DiTTO "
             "trained to memorize 4 synthetic utterances, then "
             "scripts/evaluate.py scored random vs trained DiT with "
-            "identical frozen models/seeds, oracle-ref scoring and a "
-            "deterministic random-init tiny ASR."),
+            "identical frozen models/seeds and oracle-ref scoring. The "
+            "tiny ASR and the tiny ECAPA speaker embedder are TRAINED on "
+            "the pipeline's own oracle renders (a random-init ASR/embedder "
+            "cannot discriminate; the trained ones play the role the "
+            "frozen s2t-medium and speechbrain ECAPA play in the "
+            "reference protocol)."),
         "train_steps": args.train_steps,
         "random_weights": random_res,
         "trained_weights": trained_res,
+        "margins": {
+            "mel_mae": random_res["mel_mae_mean"]
+            - trained_res["mel_mae_mean"],
+            "cer": random_res.get("cer", 1.0) - trained_res.get("cer", 1.0),
+            "sim_o": sim_o_margin,
+            "sim_r": sim_r_margin,
+        },
         "discriminates": {
             "mel_mae": trained_res["mel_mae_mean"]
             < random_res["mel_mae_mean"],
             "cer": trained_res.get("cer", 1.0) < random_res.get("cer", 1.0),
             "trained_cer_below_1": trained_res.get("cer", 1.0) < 1.0,
-            "sim_o": trained_res.get("sim_o", 0.0)
-            > random_res.get("sim_o", 0.0),
+            # a cosine gap below 0.02 is noise, not discrimination
+            "sim_o": sim_o_margin > 0.02,
         },
     }
     print(json.dumps(report, indent=2))

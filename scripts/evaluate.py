@@ -64,6 +64,9 @@ def main():
     p.add_argument("--config", default=None,
                    help="PipelineConfig JSON path (overrides --ref-config "
                         "and the default geometry)")
+    p.add_argument("--ecapa-tiny", action="store_true",
+                   help="tiny ECAPA geometry (closed-loop discrimination "
+                        "runs without the real speechbrain snapshot)")
     p.add_argument("--s2t-tiny", action="store_true",
                    help="tiny random-init ASR geometry (discrimination/"
                         "smoke runs without the real s2t snapshot)")
@@ -196,10 +199,14 @@ def main():
     ecapa_params = ecapa_cfg = None
     if args.ecapa:
         from ditto_tts_tpu.models import ecapa as ecapa_mod
-        ecapa_cfg = ecapa_mod.ECAPAConfig()
+        ecapa_cfg = (ecapa_mod.tiny_ecapa_config() if args.ecapa_tiny
+                     else ecapa_mod.ECAPAConfig())
         if args.ecapa == "random":
             print("[warn] --ecapa random: random speaker-embedding weights")
             ecapa_params = ecapa_mod.init_ecapa(keys[6], ecapa_cfg)
+        elif args.ecapa.endswith(".npz"):
+            st, _ = load_checkpoint(args.ecapa)  # native-format checkpoint
+            ecapa_params = st.get("params", st)
         else:
             ecapa_params = ecapa_mod.import_speechbrain_state_dict(
                 load_state_dict(args.ecapa), ecapa_cfg)

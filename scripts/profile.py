@@ -182,6 +182,8 @@ def cmd_layout(args):
         impl = ("pallas" if v.endswith("pallas") else
                 "gemm" if v.endswith("gemm") else "xla")
         c = cfg.replace(conv_impl=impl)
+        if os.environ.get("AA_IMPL"):
+            c = c.replace(aa_impl=os.environ["AA_IMPL"])
         fn = jax.jit(lambda p, m, c=c, layout=layout: jnp.sum(
             voc.bigvgan_forward(p, c, m, layout=layout)[..., -8:]))
         t0 = time.perf_counter()
