@@ -187,13 +187,14 @@ class VocoderConfig(_JsonMixin):
     # path measured 563 ms vs 707 ms ncl for the 10 s/B=4 bench geometry
     # on v5e, so it is the default
     layout: str = "nlc"
-    # nlc-layout conv lowering: "gemm" (explicit tap-sum of dot_generals —
-    # bypasses XLA's 1-D conv emitter, which runs BigVGAN's wide-channel
-    # stages at ~5% of matmul peak on TPU) | "pallas" (same tap-sum inside
-    # one Pallas kernel with the fp32 accumulator held in VMEM — the gemm
-    # form's fp32 inter-tap partials round-trip HBM, ~2 ms/conv;
-    # ops/conv_pallas.py) | "xla" (conv_general_dilated)
-    conv_impl: str = "gemm"
+    # nlc-layout conv lowering: "pallas" (default — the tap-sum inside one
+    # Pallas kernel with the fp32 accumulator held in VMEM for C_in
+    # 96-384, gemm elsewhere; ops/conv_pallas.py. 10 s/B=4 e2e: 362.6 ms
+    # vs 386 gemm vs 527 in r03) | "gemm" (explicit tap-sum of
+    # dot_generals — bypasses XLA's 1-D conv emitter, which runs BigVGAN's
+    # wide-channel stages at ~5% of matmul peak, but XLA round-trips the
+    # fp32 inter-tap partials through HBM) | "xla" (conv_general_dilated)
+    conv_impl: str = "pallas"
     # conv operand dtype (fp32 accumulation regardless); the conv stack is
     # compute-bound, bf16 runs it at native MXU rate. Set "float32" for
     # bit-exact parity work.

@@ -20,7 +20,7 @@ Two weight regimes per leg:
   refined latents at data scale; this is the leg the allclose north-star
   claim is made on.
 
-Writes PARITY_r03.json at the repo root. Run from the repo root:
+Writes PARITY_r04.json at the repo root. Run from the repo root:
 
   python scripts/parity_report.py               # trained config (5L/1H, T=50)
   python scripts/parity_report.py --small       # fast smoke (2L, T=8)
@@ -33,6 +33,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# transformers must never consider the TF backend here: with TF visible and
+# the torch probe racing, its lazy export table can omit GenerationMixin
+# and the AutoTokenizer import inside the reference harness explodes
+os.environ.setdefault("USE_TF", "0")
+os.environ.setdefault("USE_TORCH", "1")
 
 import jax
 
@@ -218,7 +224,13 @@ def main():
                     help="reference-DiTTO training steps for the tamed leg")
     ap.add_argument("--skip-random", action="store_true",
                     help="only run the tamed-weights legs")
-    ap.add_argument("--out", default="PARITY_r03.json")
+    ap.add_argument("--skip-full-length", action="store_true",
+                    help="skip the 10 s / 14 s full-length legs")
+    ap.add_argument("--ditto-cache", default=".parity_cache",
+                    help="directory persisting the trained reference DiTTO "
+                         "state across runs (the 19-minute torch training "
+                         "from round 3 becomes a once-ever cost)")
+    ap.add_argument("--out", default="PARITY_r04.json")
     args = ap.parse_args()
 
     if args.small:
@@ -234,7 +246,18 @@ def main():
 
     frames = int(common["audio_seconds"] * 75)
     ditto_train = dict(steps=train_steps, batch=8, frames=frames, seed=99)
+
+    # trained-reference state: in-memory cache across legs + on-disk cache
+    # across runs (VERDICT r03 weak #7: 1140 s torch build on the first leg)
     cache = {}
+    cache_path = os.path.join(
+        args.ditto_cache,
+        f"ditto_{common['dit_layers']}L{common['dit_heads']}H_"
+        f"T{common['T']}_tr{train_steps}_s99.pt")
+    if os.path.exists(cache_path):
+        import torch
+        cache["state"] = torch.load(cache_path, weights_only=True)
+        print(f"# reusing trained reference state {cache_path}")
 
     report = {
         "north_star": "allclose waveforms + bit-matched mel vs the actual "
@@ -248,6 +271,29 @@ def main():
                 ditto_state_cache=cache, **common),
         },
     }
+    if "state" in cache and not os.path.exists(cache_path):
+        import torch
+        os.makedirs(args.ditto_cache, exist_ok=True)
+        torch.save(cache["state"], cache_path)
+        print(f"# saved trained reference state to {cache_path}")
+
+    if not args.skip_full_length and not args.small:
+        # full-length protocol legs (ref operates at 10-20 s utterances,
+        # src/utils/Config.py:9-10): 750 latent frames, plus a >13.65 s
+        # case where the reference's 1024-frame truncation actually fires
+        # (SpeechGenerator.py:97-98 / TrainDiTTO.py:70-71). The 14 s legs
+        # also put >=1000 keys through the self-attention, the regime the
+        # head-packed Pallas kernel serves on TPU (here on CPU it pins the
+        # same XLA SDPA math at full sequence length vs torch).
+        report["tamed_weights_full_length"] = {
+            name: run_parity(cond_by_audio=cond, ditto_train=ditto_train,
+                             ditto_state_cache=cache,
+                             **{**common, "audio_seconds": secs})
+            for name, secs, cond in (
+                ("prompt_conditioned_10s", 10.0, True),
+                ("unconditional_10s", 10.0, False),
+                ("prompt_conditioned_14s_truncation", 14.0, True))
+        }
     if not args.skip_random:
         report["random_weights"] = {
             "prompt_conditioned": run_parity(cond_by_audio=True, **common),

@@ -3,9 +3,9 @@
 Consolidates the round-1/2 one-off scripts (profile_bigvgan{,2,3}.py,
 profile_vocoder{,_stages}.py) into:
 
-  python scripts/profile.py bigvgan         # BigVGAN variant timings
-  python scripts/profile.py vocoder-stages  # conv/act/stage decomposition
-  python scripts/profile.py stage3          # VQ / codec decode / mel / BigVGAN
+  python scripts/profiling.py bigvgan         # BigVGAN variant timings
+  python scripts/profiling.py vocoder-stages  # conv/act/stage decomposition
+  python scripts/profiling.py stage3          # VQ / codec decode / mel / BigVGAN
 
 Timing methodology (hard-won on the tunneled TPU backend, see CLAUDE.md):
 
