@@ -226,6 +226,51 @@ def pallas_attention_packed(q, k, v, *, causal=False, sm_scale=None,
 
 
 # ---------------------------------------------------------------------------
+# differentiable wrapper: Pallas forward, standard attention backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_attention_diff(q, k, v, causal, sm_scale):
+    """pallas_attention_packed with a VJP, so the >=1000-key dispatch is
+    usable inside training steps (pallas_call has no autodiff rule).  The
+    backward recomputes probabilities in fp32 and applies the standard
+    softmax-attention gradient — one layer's [B, H, Sq, Sk] at a time
+    under remat_blocks, so memory stays bounded."""
+    return pallas_attention_packed(q, k, v, causal=causal, sm_scale=sm_scale)
+
+
+def _pallas_attn_fwd(q, k, v, causal, sm_scale):
+    out = pallas_attention_packed(q, k, v, causal=causal, sm_scale=sm_scale)
+    return out, (q, k, v)
+
+
+def _pallas_attn_bwd(causal, sm_scale, res, g):
+    q, k, v = res
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if causal:
+        sq, sk = q.shape[2], k.shape[2]
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        s = jnp.where(col <= row, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)                       # fp32
+    gf = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds,
+                    k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds,
+                    q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_pallas_attention_diff.defvjp(_pallas_attn_fwd, _pallas_attn_bwd)
+
+
+# ---------------------------------------------------------------------------
 # dispatching entry point
 # ---------------------------------------------------------------------------
 
@@ -249,6 +294,5 @@ def attention(q, k, v, *, causal=False, bias=None, sm_scale=None,
     if use_pallas is None:
         use_pallas = on_tpu() and bias is None and k.shape[2] >= 1000
     if use_pallas and bias is None:
-        return pallas_attention_packed(q, k, v, causal=causal,
-                                       sm_scale=sm_scale)
+        return _pallas_attention_diff(q, k, v, causal, sm_scale)
     return sdpa_reference(q, k, v, causal=causal, bias=bias, sm_scale=sm_scale)

@@ -151,8 +151,11 @@ def main():
     from ditto_tts_tpu.core.config import DiTConfig, PipelineConfig
     from ditto_tts_tpu.text import gpt2 as gpt2_mod
 
+    # remat_blocks: recompute each scanned block in backward — without it
+    # the step stores all 12 layers' [B, H, S, S] attention scores and
+    # B=8/S=750 blows the 16 GB HBM (2x 2.5 GB fp32 + 2x 1.2 GB bf16)
     cfg = PipelineConfig(dit=DiTConfig(num_layers=12, num_heads=12,
-                                       scan_blocks=True,
+                                       scan_blocks=True, remat_blocks=True,
                                        compute_dtype="bfloat16"))
     gpt2_cfg = gpt2_mod.GPT2Config()
 
@@ -167,7 +170,9 @@ def main():
                       file=sys.stderr)
                 break
             except Exception as e:
-                if "RESOURCE_EXHAUSTED" in str(e) and b > 1:
+                oom = ("RESOURCE_EXHAUSTED" in str(e)
+                       or "Ran out of memory" in str(e))
+                if oom and b > 1:
                     print(f"# B={b} OOM at {seconds}s; retrying B={b//2}",
                           file=sys.stderr)
                     b //= 2

@@ -41,8 +41,11 @@ def main():
     p.add_argument("--heads", type=int, default=12)
     args = p.parse_args()
 
+    # scan+remat: one compiled block body, per-block recompute in backward
+    # — the training memory/defaults the TPU step is designed for
     dit_cfg = ref_trained_dit_config() if args.ref_config else DiTConfig(
-        num_layers=args.layers, num_heads=args.heads)
+        num_layers=args.layers, num_heads=args.heads,
+        scan_blocks=True, remat_blocks=True)
 
     key = jax.random.key(args.seed)
     keys = jax.random.split(key, 8)

@@ -87,3 +87,49 @@ def test_pallas_packed_matches_reference(shape, causal):
     got = pallas_attention_packed(q, k, v, causal=causal, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_attention_gradient_matches_sdpa():
+    """The custom-VJP wrapper (Pallas fwd, standard bwd) must produce the
+    same gradients as differentiating the XLA SDPA reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ditto_tts_tpu.ops.attention import (_pallas_attention_diff,
+                                             sdpa_reference)
+
+    rng = np.random.default_rng(3)
+    b, h, s, d = 1, 4, 40, 64   # h*d packs 2 heads per 128 lanes
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+               for _ in range(3))
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(jnp.sin(_pallas_attention_diff(q, k, v, False, None)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(sdpa_reference(q, k, v)))
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_attention_gradient_causal():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ditto_tts_tpu.ops.attention import (_pallas_attention_diff,
+                                             sdpa_reference)
+
+    rng = np.random.default_rng(4)
+    b, h, s, d = 1, 2, 24, 64
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+               for _ in range(3))
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(lambda q: jnp.sum(
+            _pallas_attention_diff(q, k, v, True, None) ** 2))(q)
+    gr = jax.grad(lambda q: jnp.sum(
+        sdpa_reference(q, k, v, causal=True) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=2e-4, atol=2e-5)
