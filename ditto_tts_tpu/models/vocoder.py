@@ -131,6 +131,10 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
 
 def _act_nlc(x, act_params, cfg: VocoderConfig, impl: str):
     """x: [B, T, C]."""
+    if impl == "fused_conv":
+        # standalone activations (act_post, widths outside the fused
+        # kernel's dispatch) fall back to the slice-form polyphase
+        impl = "polyphase"
     if cfg.activation == "snakebeta":
         def fn(v):
             return snake_beta(v, act_params["alpha"], act_params["beta"],
@@ -211,12 +215,37 @@ def _conv_same_nlc(p, x, *, dilation=1, cdt=None, conv_fn=conv1d_nlc_gemm):
 
 
 def _amp_block_nlc(p, cfg, x, dilations, impl, cdt, conv_fn):
+    # aa_impl="fused_conv": each act->conv pair runs as ONE Pallas kernel
+    # (ops/act_conv_pallas.py) at the widths where the VMEM conv kernel
+    # already wins (96-384) — x is read once per pair instead of the
+    # activation costing its own HBM round trip plus XLA's materialized
+    # FIR tap intermediates
+    fuse = (impl == "fused_conv" and cfg.use_anti_aliasing
+            and 96 <= x.shape[-1] <= 384)
+    if fuse:
+        import jax as _jax
+        from ..ops.act_conv_pallas import aa_snake_conv1d
+        interp = _jax.default_backend() != "tpu"
+        beta = cfg.activation == "snakebeta"
+
+        def pair(v, act, conv, dil):
+            return aa_snake_conv1d(
+                v, act["alpha"], act.get("beta") if beta else None,
+                conv["weight"], conv.get("bias"), dilation=dil,
+                logscale=cfg.snake_logscale, compute_dtype=cdt,
+                interpret=interp)
+
     for i in range(len(p["convs1"])):
-        xt = _act_nlc(x, p["act1"][i], cfg, impl)
-        xt = _conv_same_nlc(p["convs1"][i], xt, dilation=dilations[i],
-                            cdt=cdt, conv_fn=conv_fn)
-        xt = _act_nlc(xt, p["act2"][i], cfg, impl)
-        xt = _conv_same_nlc(p["convs2"][i], xt, cdt=cdt, conv_fn=conv_fn)
+        if fuse:
+            xt = pair(x, p["act1"][i], p["convs1"][i], dilations[i])
+            xt = pair(xt, p["act2"][i], p["convs2"][i], 1)
+        else:
+            xt = _act_nlc(x, p["act1"][i], cfg, impl)
+            xt = _conv_same_nlc(p["convs1"][i], xt, dilation=dilations[i],
+                                cdt=cdt, conv_fn=conv_fn)
+            xt = _act_nlc(xt, p["act2"][i], cfg, impl)
+            xt = _conv_same_nlc(p["convs2"][i], xt, cdt=cdt,
+                                conv_fn=conv_fn)
         x = x + xt
     return x
 

@@ -1,0 +1,193 @@
+"""Fused anti-aliased-Snake -> conv1d Pallas kernel (channels-last).
+
+The BigVGAN AMP block alternates anti-aliased SnakeBeta activations with
+dilated convs.  Even with the VMEM-accumulator conv kernel
+(ops/conv_pallas.py), each activation still costs a full HBM read+write
+of the stage tensor — and XLA's lowering of the slice-form polyphase
+activation materializes tap intermediates on top (the round-3 ablation
+put the FIR chains + snake at ~2/3 of the vocoder).  This kernel computes
+
+    y = conv1d(zero_pad(AA_snake(x), conv_pad), W, dilation)
+
+in ONE pass: x is read once, the polyphase 2x-up -> snake -> 2x-down
+activation is evaluated in fp32 entirely in VMEM (same math as
+ops/snake_pallas_nlc.py), the activation rows outside [0, T) are zeroed
+(matching the unfused path's zero-padded conv input), and the K tap
+contractions run on the MXU with an fp32 VMEM accumulator.
+
+Blocking follows conv_pallas v2: the input is passed twice with block
+indices t and t+1 (halo without materializing windows); grid is
+(batch, time, oc) with oc innermost so the x block stays resident (the
+activation recompute per oc block is a few microseconds of VPU time —
+HBM traffic is what matters).
+
+Edge semantics: within ~6 samples of the sequence ends the in-kernel
+activation (replicate-padded x, plain taps) differs slightly from the
+polyphase oracle's 2x-rate replicate edges — the same caveat as
+ops/snake_pallas_nlc.py; tests pin the interior exactly and the edges to
+a loose tolerance.
+
+Behavioral spec: BigVGAN Activation1d (use_cuda_kernel=False) followed by
+Conv1d, which the reference runs as separate fp32 torch modules
+(ref: src/model/SpeechGenerator.py:47-52).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .resample import kaiser_sinc_filter1d
+
+_EPS = 1e-9
+_AH = 8                  # activation halo rows per side (needs >= 7)
+
+
+@functools.lru_cache(maxsize=1)
+def _taps():
+    """Forward-applied polyphase taps (ops/snake.py conventions):
+    e[t] = sum_r 2h[2r]   x[t+r-3];  o[t] = sum_r 2h[2r+1] x[t+r-2];
+    z[t] = sum_r  h[2r]  so[t+r-3] +  h[2r+1] se[t+r-2]."""
+    h = kaiser_sinc_filter1d(0.25, 0.3, 12)
+    e_up = tuple(float(2.0 * h[2 * r]) for r in range(6))
+    o_up = tuple(float(2.0 * h[2 * r + 1]) for r in range(6))
+    z_o = tuple(float(h[2 * r]) for r in range(6))
+    z_e = tuple(float(h[2 * r + 1]) for r in range(6))
+    return e_up, o_up, z_e, z_o
+
+
+def _kernel(xa_ref, xb_ref, w_ref, b_ref, al_ref, be_ref, o_ref, acc_ref, *,
+            k: int, dil: int, bt: int, ca: int, halo: int, t_total: int,
+            logscale: bool, has_beta: bool, compute_dtype):
+    # window covers global x rows [t0 - ca - _AH, t0 + bt + ca + _AH)
+    xw = jnp.concatenate([xa_ref[0], xb_ref[0][:halo]],
+                         axis=0).astype(jnp.float32)
+
+    a = al_ref[...].astype(jnp.float32)                    # [1, C]
+    b = be_ref[...].astype(jnp.float32) if has_beta else a
+    if logscale:
+        a = jnp.exp(a)
+        b = jnp.exp(b)
+    inv_b = 1.0 / (b + _EPS)
+
+    e_up, o_up, z_e, z_o = _taps()
+    n_act = bt + 2 * ca          # act rows t in [-ca, bt + ca) rel. block
+    n_ph = n_act + 6             # phase rows t' in [-3, n_act + 3)
+
+    # xw index of act row u (u = 0 <-> global t0 - ca): u + _AH
+    def phase(taps, base):
+        acc = taps[0] * xw[base:base + n_ph]
+        for m in range(1, 6):
+            acc = acc + taps[m] * xw[base + m:base + m + n_ph]
+        return acc
+
+    # e[t] = sum_r 2h[2r] x[t+r-3]; phase rows start at t = -3 -> xw base
+    #   (-3) - 3 + _AH = _AH - 6;  o[t] uses x[t+r-2] -> base _AH - 5
+    e = phase(e_up, _AH - 6)
+    o = phase(o_up, _AH - 5)
+
+    def snake(v):
+        s = jnp.sin(a * v)
+        return v + inv_b * s * s
+
+    se = snake(e)
+    so = snake(o)
+
+    # z[t] = sum_r h[2r] so[t+r-3] + h[2r+1] se[t+r-2], arrays offset +3
+    z = z_o[0] * so[0:n_act] + z_e[0] * se[1:1 + n_act]
+    for m in range(1, 6):
+        z = z + z_o[m] * so[m:m + n_act] + z_e[m] * se[m + 1:m + 1 + n_act]
+
+    # zero activation rows outside [0, T): the unfused path zero-pads the
+    # ACT OUTPUT before the VALID conv
+    t0 = pl.program_id(1) * bt
+    g_row = t0 - ca + jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    z = jnp.where((g_row >= 0) & (g_row < t_total), z, 0.0)
+    z = z.astype(compute_dtype)
+
+    acc_ref[...] = b_ref[...] + jax.lax.dot_general(
+        z[:bt], w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    for m in range(1, k):
+        acc_ref[...] += jax.lax.dot_general(
+            z[m * dil:m * dil + bt], w_ref[m],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def aa_snake_conv1d(x, alpha, beta, weight, bias=None, *, dilation: int = 1,
+                    logscale: bool = True, compute_dtype=None,
+                    block_t: int = 0, oc_block: int = 256,
+                    interpret: bool = False):
+    """x: [B, T, C]; alpha/beta: [C] (beta None => plain Snake);
+    weight: [O, C, K] (torch conv1d layout).  Returns the 'SAME'
+    conv of the anti-aliased Snake activation of x: [B, T, O] in x.dtype.
+    """
+    out_dtype = x.dtype
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
+
+    b_, t, c = x.shape
+    o, i, k = weight.shape
+    assert i == c, (i, c)
+    ca = (k * dilation - dilation) // 2
+    has_beta = beta is not None
+
+    if o <= oc_block:
+        ocb = o
+    else:
+        ocb = next((d for d in range(oc_block - oc_block % 128, 0, -128)
+                    if o % d == 0), o)
+    no = o // ocb
+
+    halo = -(-(2 * (ca + _AH)) // 16) * 16
+    if block_t <= 0:
+        # x blocks (2 copies, 2 buffers, carry dtype) + ~6 fp32 phase/act
+        # temps + fp32 scratch/tap temp/out; ~8 MB budget
+        denom = 8 * c * x.dtype.itemsize + 28 * c + 12 * ocb
+        block_t = min(max((8_000_000 // denom) // 256 * 256, 256), 2048)
+    bt = min(block_t, -(-t // 16) * 16)
+    assert halo <= bt, (halo, bt)
+    nt = -(-t // bt)
+
+    # replicate-pad so window row 0 = global x row t0 - ca - _AH, and the
+    # xb (t+1) block exists for the last time block
+    lpad = ca + _AH
+    need_r = nt * bt + halo + bt - (t + lpad)
+    left = jnp.repeat(x[:, :1], lpad, axis=1)
+    right = jnp.repeat(x[:, -1:], max(need_r, 0), axis=1)
+    xg = jnp.concatenate([left, x, right], axis=1)
+    if xg.dtype != cdt:
+        xg = xg.astype(cdt)
+
+    w2 = jnp.transpose(weight, (2, 1, 0)).astype(cdt)      # [K, C, O]
+    b_vec = (bias if bias is not None
+             else jnp.zeros((o,), jnp.float32)).astype(jnp.float32)
+    b_vec = b_vec.reshape(1, o)
+    al = alpha.reshape(1, c).astype(jnp.float32)
+    be = (beta if has_beta else alpha).reshape(1, c).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, k=k, dil=dilation, bt=bt, ca=ca,
+                          halo=halo, t_total=t, logscale=logscale,
+                          has_beta=has_beta, compute_dtype=cdt),
+        grid=(b_, nt, no),
+        in_specs=[
+            pl.BlockSpec((1, bt, c), lambda b, ti, oi: (b, ti, 0)),
+            pl.BlockSpec((1, bt, c), lambda b, ti, oi: (b, ti + 1, 0)),
+            pl.BlockSpec((k, c, ocb), lambda b, ti, oi: (0, 0, oi)),
+            pl.BlockSpec((1, ocb), lambda b, ti, oi: (0, oi)),
+            pl.BlockSpec((1, c), lambda b, ti, oi: (0, 0)),
+            pl.BlockSpec((1, c), lambda b, ti, oi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bt, ocb), lambda b, ti, oi: (b, ti, oi)),
+        out_shape=jax.ShapeDtypeStruct((b_, nt * bt, o), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bt, ocb), jnp.float32)],
+        interpret=interpret,
+    )(xg, xg, w2, b_vec, al, be)
+    return out[:, :t]
