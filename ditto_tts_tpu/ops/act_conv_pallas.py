@@ -60,14 +60,26 @@ def _taps():
     return e_up, o_up, z_e, z_o
 
 
-def _kernel(xa_ref, xb_ref, w_ref, b_ref, al_ref, be_ref, o_ref, acc_ref, *,
-            k: int, dil: int, bt: int, ca: int, halo: int, t_total: int,
-            logscale: bool, has_beta: bool, compute_dtype):
-    # window covers global x rows [t0 - ca - _AH, t0 + bt + ca + _AH)
+def _kernel(xa_ref, xb_ref, w_ref, b_ref, al_ref, be_ref, o_ref, acc_ref,
+            *, k: int, dil: int, bt: int, ca: int, halo: int,
+            t_total: int, logscale: bool, has_beta: bool, compute_dtype):
+    n_act = bt + 2 * ca          # act rows t in [-ca, bt + ca) rel. block
+    n_ph = n_act + 6             # phase rows t' in [-3, n_act + 3)
+
+    # NB: the activation body must stay UNconditional — wrapping it in
+    # pl.when (to skip recompute across an oc sweep) crashes the Mosaic
+    # compiler; instead the grid has no oc dimension (full-O weight
+    # blocks) so the activation runs exactly once per time block.
+    t0 = pl.program_id(1) * bt
+
+    # window covers global x rows [t0 - ca - _AH, t0 + bt + ca + _AH).
+    # The activation runs in fp32: Mosaic crashes lowering the bf16
+    # odd-offset phase slice chains (empirical; fp32 compiles and the
+    # arrays live only in VMEM so the precision is free).
     xw = jnp.concatenate([xa_ref[0], xb_ref[0][:halo]],
                          axis=0).astype(jnp.float32)
 
-    a = al_ref[...].astype(jnp.float32)                    # [1, C]
+    a = al_ref[...].astype(jnp.float32)                # [1, C]
     b = be_ref[...].astype(jnp.float32) if has_beta else a
     if logscale:
         a = jnp.exp(a)
@@ -75,18 +87,15 @@ def _kernel(xa_ref, xb_ref, w_ref, b_ref, al_ref, be_ref, o_ref, acc_ref, *,
     inv_b = 1.0 / (b + _EPS)
 
     e_up, o_up, z_e, z_o = _taps()
-    n_act = bt + 2 * ca          # act rows t in [-ca, bt + ca) rel. block
-    n_ph = n_act + 6             # phase rows t' in [-3, n_act + 3)
 
-    # xw index of act row u (u = 0 <-> global t0 - ca): u + _AH
     def phase(taps, base):
         acc = taps[0] * xw[base:base + n_ph]
         for m in range(1, 6):
             acc = acc + taps[m] * xw[base + m:base + m + n_ph]
         return acc
 
-    # e[t] = sum_r 2h[2r] x[t+r-3]; phase rows start at t = -3 -> xw base
-    #   (-3) - 3 + _AH = _AH - 6;  o[t] uses x[t+r-2] -> base _AH - 5
+    # e[t] = sum_r 2h[2r] x[t+r-3]; phase rows start at t = -3 -> xw
+    # base (-3) - 3 + _AH = _AH - 6;  o[t] uses x[t+r-2] -> _AH - 5
     e = phase(e_up, _AH - 6)
     o = phase(o_up, _AH - 5)
 
@@ -97,14 +106,14 @@ def _kernel(xa_ref, xb_ref, w_ref, b_ref, al_ref, be_ref, o_ref, acc_ref, *,
     se = snake(e)
     so = snake(o)
 
-    # z[t] = sum_r h[2r] so[t+r-3] + h[2r+1] se[t+r-2], arrays offset +3
+    # z[t] = sum_r h[2r] so[t+r-3] + h[2r+1] se[t+r-2] (offset +3)
     z = z_o[0] * so[0:n_act] + z_e[0] * se[1:1 + n_act]
     for m in range(1, 6):
-        z = z + z_o[m] * so[m:m + n_act] + z_e[m] * se[m + 1:m + 1 + n_act]
+        z = z + z_o[m] * so[m:m + n_act] \
+              + z_e[m] * se[m + 1:m + 1 + n_act]
 
-    # zero activation rows outside [0, T): the unfused path zero-pads the
-    # ACT OUTPUT before the VALID conv
-    t0 = pl.program_id(1) * bt
+    # zero activation rows outside [0, T): the unfused path zero-pads
+    # the ACT OUTPUT before the VALID conv
     g_row = t0 - ca + jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
     z = jnp.where((g_row >= 0) & (g_row < t_total), z, 0.0)
     z = z.astype(compute_dtype)
@@ -123,8 +132,7 @@ def _kernel(xa_ref, xb_ref, w_ref, b_ref, al_ref, be_ref, o_ref, acc_ref, *,
 
 def aa_snake_conv1d(x, alpha, beta, weight, bias=None, *, dilation: int = 1,
                     logscale: bool = True, compute_dtype=None,
-                    block_t: int = 0, oc_block: int = 256,
-                    interpret: bool = False):
+                    block_t: int = 0, interpret: bool = False):
     """x: [B, T, C]; alpha/beta: [C] (beta None => plain Snake);
     weight: [O, C, K] (torch conv1d layout).  Returns the 'SAME'
     conv of the anti-aliased Snake activation of x: [B, T, O] in x.dtype.
@@ -138,19 +146,17 @@ def aa_snake_conv1d(x, alpha, beta, weight, bias=None, *, dilation: int = 1,
     ca = (k * dilation - dilation) // 2
     has_beta = beta is not None
 
-    if o <= oc_block:
-        ocb = o
-    else:
-        ocb = next((d for d in range(oc_block - oc_block % 128, 0, -128)
-                    if o % d == 0), o)
-    no = o // ocb
-
     halo = -(-(2 * (ca + _AH)) // 16) * 16
+    isz = jnp.dtype(cdt).itemsize
     if block_t <= 0:
-        # x blocks (2 copies, 2 buffers, carry dtype) + ~6 fp32 phase/act
-        # temps + fp32 scratch/tap temp/out; ~8 MB budget
-        denom = 8 * c * x.dtype.itemsize + 28 * c + 12 * ocb
-        block_t = min(max((8_000_000 // denom) // 256 * 256, 256), 2048)
+        # x blocks (2 copies, 2 buffers) + ~6 phase/act temps (carry
+        # dtype) + fp32 acc + tap temp + out, after the full-O weight
+        # block; ~12 MB budget. No oc grid dim: the activation runs once
+        # per time block (pl.when-gated recompute-avoidance crashes
+        # Mosaic; see kernel note).
+        denom = 8 * c * isz + 24 * c + 12 * o   # fp32 act temps
+        budget = max(12_000_000 - 2 * k * c * o * isz, denom * 256)
+        block_t = min(max((budget // denom) // 256 * 256, 256), 2048)
     bt = min(block_t, -(-t // 16) * 16)
     assert halo <= bt, (halo, bt)
     nt = -(-t // bt)
@@ -176,18 +182,18 @@ def aa_snake_conv1d(x, alpha, beta, weight, bias=None, *, dilation: int = 1,
         functools.partial(_kernel, k=k, dil=dilation, bt=bt, ca=ca,
                           halo=halo, t_total=t, logscale=logscale,
                           has_beta=has_beta, compute_dtype=cdt),
-        grid=(b_, nt, no),
+        grid=(b_, nt),
         in_specs=[
-            pl.BlockSpec((1, bt, c), lambda b, ti, oi: (b, ti, 0)),
-            pl.BlockSpec((1, bt, c), lambda b, ti, oi: (b, ti + 1, 0)),
-            pl.BlockSpec((k, c, ocb), lambda b, ti, oi: (0, 0, oi)),
-            pl.BlockSpec((1, ocb), lambda b, ti, oi: (0, oi)),
-            pl.BlockSpec((1, c), lambda b, ti, oi: (0, 0)),
-            pl.BlockSpec((1, c), lambda b, ti, oi: (0, 0)),
+            pl.BlockSpec((1, bt, c), lambda b, ti: (b, ti, 0)),
+            pl.BlockSpec((1, bt, c), lambda b, ti: (b, ti + 1, 0)),
+            pl.BlockSpec((k, c, o), lambda b, ti: (0, 0, 0)),
+            pl.BlockSpec((1, o), lambda b, ti: (0, 0)),
+            pl.BlockSpec((1, c), lambda b, ti: (0, 0)),
+            pl.BlockSpec((1, c), lambda b, ti: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bt, ocb), lambda b, ti, oi: (b, ti, oi)),
+        out_specs=pl.BlockSpec((1, bt, o), lambda b, ti: (b, ti, 0)),
         out_shape=jax.ShapeDtypeStruct((b_, nt * bt, o), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bt, ocb), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, o), jnp.float32)],
         interpret=interpret,
     )(xg, xg, w2, b_vec, al, be)
     return out[:, :t]

@@ -28,7 +28,10 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ditto_tts_tpu.nn.conv import conv1d_nlc_gemm
+from ditto_tts_tpu.ops.act_conv_pallas import aa_snake_conv1d
 from ditto_tts_tpu.ops.conv_pallas import conv1d_nlc_pallas
+from ditto_tts_tpu.ops.snake import (polyphase_anti_aliased_activation,
+                                     snake_beta)
 
 B = 4
 K_LO, K_HI = 4, 16
@@ -54,6 +57,28 @@ def chain(conv_fn, reps, pad, k, dil):
     return jax.jit(run)
 
 
+def chain_act(conv_fn, reps, pad, k, dil, alpha, beta, fused):
+    """act -> conv pairs (what an AMP block alternates)."""
+    def run(x, w, bv):
+        def body(_, carry):
+            core = carry[:, pad:-pad] if pad else carry
+            if fused:
+                y = aa_snake_conv1d(core, alpha, beta, w, bv, dilation=dil,
+                                    compute_dtype=jnp.bfloat16)
+            else:
+                a = polyphase_anti_aliased_activation(
+                    core, lambda v: snake_beta(v, alpha, beta,
+                                               channel_axis=-1),
+                    time_axis=1)
+                a = jnp.pad(a, ((0, 0), (pad, pad), (0, 0)))
+                y = conv_fn(a, w, bv, dilation=dil,
+                            compute_dtype=jnp.bfloat16)
+            return jnp.pad(y, ((0, 0), (pad, pad), (0, 0)))
+        out = jax.lax.fori_loop(0, reps, body, x)
+        return jnp.sum(jnp.ravel(out)[-4:])
+    return jax.jit(run)
+
+
 def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     dil = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -61,18 +86,40 @@ def main():
           f"slope K={K_LO}->{K_HI}", flush=True)
 
     rng = np.random.default_rng(0)
-    for t, c in STAGES:
+    stages = STAGES
+    if os.environ.get("CONV_STAGES"):
+        keep = {int(s) for s in os.environ["CONV_STAGES"].split(",")}
+        stages = [s for s in STAGES if s[1] in keep]
+    for t, c in stages:
         pad = (k * dil - dil) // 2
         x = jnp.asarray(0.1 * rng.standard_normal((B, t + 2 * pad, c)),
                         jnp.bfloat16)
         w = jnp.asarray(0.1 * rng.standard_normal((c, c, k)), jnp.float32)
         bv = jnp.asarray(rng.standard_normal(c), jnp.float32)
         flops = 2 * B * t * c * c * k
-        for name, fn in [("gemm", conv1d_nlc_gemm),
-                         ("pallas", conv1d_nlc_pallas)]:
+        alpha = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+        beta = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+        variants = [
+            ("gemm", lambda: (chain(conv1d_nlc_gemm, K_LO, pad, k, dil),
+                              chain(conv1d_nlc_gemm, K_HI, pad, k, dil))),
+            ("pallas", lambda: (chain(conv1d_nlc_pallas, K_LO, pad, k, dil),
+                                chain(conv1d_nlc_pallas, K_HI, pad, k,
+                                      dil))),
+            ("act+pallas", lambda: (
+                chain_act(conv1d_nlc_pallas, K_LO, pad, k, dil, alpha,
+                          beta, False),
+                chain_act(conv1d_nlc_pallas, K_HI, pad, k, dil, alpha,
+                          beta, False))),
+            ("fusedAC", lambda: (
+                chain_act(None, K_LO, pad, k, dil, alpha, beta, True),
+                chain_act(None, K_HI, pad, k, dil, alpha, beta, True))),
+        ]
+        if os.environ.get("CONV_VARIANTS"):
+            keep = os.environ["CONV_VARIANTS"].split(",")
+            variants = [v for v in variants if v[0] in keep]
+        for name, mk in variants:
             try:
-                lo = chain(fn, K_LO, pad, k, dil)
-                hi = chain(fn, K_HI, pad, k, dil)
+                lo, hi = mk()
                 float(lo(x, w, bv)); float(hi(x, w, bv))  # compile+warm
                 t_lo = min(_t(lambda: float(lo(x, w, bv)))
                            for _ in range(3))

@@ -51,7 +51,7 @@ def test_fused_act_conv_matches_oracle_interior(shape, k, dil):
     np.testing.assert_allclose(got, want, rtol=0.5, atol=0.2)
 
 
-def test_fused_act_conv_oc_blocking_and_no_beta():
+def test_fused_act_conv_wide_out_and_no_beta():
     rng = np.random.default_rng(1)
     b, t, c, o, k, dil = 1, 400, 16, 64, 7, 1
     x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
@@ -60,8 +60,7 @@ def test_fused_act_conv_oc_blocking_and_no_beta():
 
     want = np.asarray(_oracle(x, alpha, None, w, None, dil))
     got = np.asarray(aa_snake_conv1d(x, alpha, None, w, None, dilation=dil,
-                                     interpret=True, block_t=128,
-                                     oc_block=32))
+                                     interpret=True, block_t=128))
     m = 8 + (k * dil - dil) // 2
     np.testing.assert_allclose(got[:, m:-m], want[:, m:-m],
                                rtol=2e-4, atol=2e-4)
