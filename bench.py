@@ -169,8 +169,10 @@ def stage_breakdown(cfg, params, audio, mask, text, total_dt, disp):
         if name == "encode":
             latent_s = jax.eval_shape(pf, *args).shape[1]
         float(compiled(*args))  # warm
+        # min-of-5: prefix DIFFERENCES amplify single-run noise (a fast
+        # outlier in prefix k shows up as a phantom cost in stage k+1)
         dt = min(_time_once(lambda: float(compiled(*args)))
-                 for _ in range(3)) - disp
+                 for _ in range(5)) - disp
         cost = compiled.cost_analysis()
         fl = float(cost.get("flops", 0.0)) if cost else 0.0
         stage_dt = max(dt - prev_dt, 5e-4)

@@ -173,7 +173,13 @@ class VocoderConfig(_JsonMixin):
     activation: str = "snakebeta"
     snake_logscale: bool = True
     use_anti_aliasing: bool = True     # anti-aliased (2x up/down) activation
-    # "polyphase" (exact slice-form, XLA-fused, TPU default) |
+    # "fused_conv" (default — inside AMP blocks each act->conv pair runs
+    # as ONE Pallas kernel at C 96-384, ops/act_conv_pallas.py; all
+    # other positions fall back to polyphase. 342 ms vs 363 ms e2e at
+    # the 10 s/B=4 bench. Activation edge semantics differ within ~6
+    # input samples of the sequence ends — strict-parity runs pin
+    # "polyphase") |
+    # "polyphase" (exact slice-form, XLA-fused) |
     # "polyphase_gemm" (nlc only: the four 6-tap FIRs as banded GEMMs,
     # ops/fir_gemm.py) | "composed" (up/act/down as convs; oracle —
     # requires layout="ncl", the nlc path raises) | "fused_pallas" (nlc:
@@ -181,7 +187,7 @@ class VocoderConfig(_JsonMixin):
     # ops/snake_pallas_nlc.py for widths >= 96, falls back to polyphase
     # below; ncl: the round-1 ANY-space kernel that hangs the tunneled
     # backend — see CLAUDE.md — so never default)
-    aa_impl: str = "polyphase"
+    aa_impl: str = "fused_conv"
     # signal carry layout: "ncl" (torch-like [B, C, T]; oracle paths) |
     # "nlc" (channels-last [B, T, C]) — with conv_impl="gemm" the nlc
     # path measured 563 ms vs 707 ms ncl for the 10 s/B=4 bench geometry

@@ -97,6 +97,8 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
     impl = aa_impl or ("fused_pallas" if fused else cfg.aa_impl)
     if (layout or cfg.layout) == "nlc":
         return _bigvgan_forward_nlc(params, cfg, mel, impl)
+    if impl == "fused_conv":
+        impl = "polyphase"      # fusion exists on the nlc fast path only
     # Always pass an explicit compute dtype: the signal is carried in
     # cfg.carry_dtype while weights stay fp32, so the conv primitives must
     # cast BOTH operands (a no-op cast when dtypes already match).

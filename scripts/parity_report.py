@@ -78,8 +78,11 @@ def run_parity(*, dit_layers, dit_heads, T, vocoder_cfg, audio_seconds,
         dit=DiTConfig(num_layers=dit_layers, num_heads=dit_heads,
                       diffusion_steps=T, ref_compat=True,
                       compute_dtype="float32"),
+        # strict parity pins the exact polyphase activation (the default
+        # fused_conv kernel deviates within ~6 samples of sequence edges)
         vocoder=vocoder_cfg.replace(compute_dtype="float32",
-                                    carry_dtype="float32"),
+                                    carry_dtype="float32",
+                                    aa_impl="polyphase"),
         sampler=SamplerConfig(num_steps=T))
 
     B = 1
