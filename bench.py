@@ -42,7 +42,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ditto_tts_tpu.core.config import DiTConfig, PipelineConfig, SamplerConfig
 from ditto_tts_tpu.infer.generator import (GeneratorParams, build_stage_fns,
-                                           build_synthesize)
+                                           build_synthesize_pipelined)
 from ditto_tts_tpu.codec import encodec as codec_mod
 from ditto_tts_tpu.models import dit as dit_mod
 from ditto_tts_tpu.models import nac as nac_mod
@@ -93,24 +93,26 @@ def bench_bucket(cfg, params, seconds, disp):
     text = jnp.asarray(rng.integers(0, 50257, (BATCH, 64)))
     key = jax.random.key(7)
 
-    synth = build_synthesize(cfg)
+    # official serving path: TWO async jit dispatches split at the code
+    # indices (build_synthesize_pipelined) — same math as the one-jit
+    # build_synthesize (pinned by tests/test_pipeline.py), ~11% faster
+    # because the codec LSTM scan in the same XLA program slows the DiT
+    # scan (measured 936 -> 835 ms at 10 s/B=4)
+    synth = build_synthesize_pipelined(cfg)
+    chk = jax.jit(lambda w: jnp.sum(w[:, -8:]))
 
     # block_until_ready on the tunneled single-chip backend can return
     # before execution finishes; a scalar readback forces real completion.
-    def run(params, audio, mask, text, key):
-        wav = synth(params, audio, mask, text, key)
-        return wav, jnp.sum(wav[:, -8:])
+    def run():
+        return float(chk(synth(params, audio, mask, text, key)))
 
-    fn = jax.jit(run)
     t0 = time.time()
-    _, chk = fn(params, audio, mask, text, key)
-    float(chk)
+    run()
     compile_s = time.time() - t0
     print(f"# [{seconds}s] compile+first run: {compile_s:.1f}s",
           file=sys.stderr)
 
-    dt = min(_time_once(lambda: float(fn(params, audio, mask, text,
-                                         key)[1])) for _ in range(3))
+    dt = min(_time_once(run) for _ in range(3))
     value = BATCH * seconds / dt
 
     t_bd = time.time()
@@ -129,75 +131,94 @@ def bench_bucket(cfg, params, seconds, disp):
 def stage_breakdown(cfg, params, audio, mask, text, total_dt, disp):
     """Prefix-telescoped per-stage seconds + FLOPs + MFU vs chip peak.
 
-    prefix_k = jit(stage_0 o ... o stage_k)(original inputs); per-stage
-    seconds are prefix differences, so they sum to the full-pipeline time
-    (minus one dispatch) by construction.  FLOPs come from XLA's compiled
-    cost analysis, also prefix-differenced; the sampler (a lax.scan whose
-    body XLA counts once) is computed analytically.
+    Prefixes follow the two-dispatch serving split: group A prefixes
+    compose encode -> sampler -> vq indices (dispatch 1), group B
+    composes codec decode -> mel -> vocoder from precomputed indices
+    (dispatch 2).  Per-stage seconds are prefix differences within each
+    group, so group sums match the dispatched programs by construction.
+    FLOPs come from XLA's compiled cost analysis, prefix-differenced;
+    the sampler (a lax.scan whose body XLA counts once) is analytic.
     """
     stages = build_stage_fns(cfg)
     length = audio.shape[-1]
     key = jax.random.key(0)
 
-    def p_encode(p, a, m, t, k):
+    def a_encode(p, a, m, t, k):
         return stages["encode"](p, a, m)
 
-    def p_sampler(p, a, m, t, k):
-        return stages["sampler"](p, p_encode(p, a, m, t, k), t, k)
+    def a_sampler(p, a, m, t, k):
+        return stages["sampler"](p, a_encode(p, a, m, t, k), t, k)
 
-    def p_vq(p, a, m, t, k):
-        return stages["vq_decode"](p, p_sampler(p, a, m, t, k),
-                                   output_length=length)
+    def a_indices(p, a, m, t, k):
+        return stages["refine_indices"](p, a, m, t, k)
 
-    def p_mel(p, a, m, t, k):
-        return stages["mel"](p, p_vq(p, a, m, t, k))
+    idx = jax.jit(stages["refine_indices"])(params, audio, mask, text, key)
+    idx = jax.block_until_ready(idx)
 
-    def p_voc(p, a, m, t, k):
-        return stages["vocoder"](p, p_mel(p, a, m, t, k))
+    def b_codec(p, i):
+        return codec_decode_stage(cfg, p, i, length)
 
-    prefixes = [("encode", p_encode), ("sampler", p_sampler),
-                ("vq_decode", p_vq), ("mel", p_mel), ("vocoder", p_voc)]
+    def b_mel(p, i):
+        return stages["mel"](p, b_codec(p, i))
 
-    latent_s = None
-    prev_dt, prev_fl = 0.0, 0.0
+    def b_voc(p, i):
+        return stages["vocoder"](p, b_mel(p, i))
+
+    groups = [
+        [("encode", a_encode, (params, audio, mask, text, key)),
+         ("sampler", a_sampler, (params, audio, mask, text, key)),
+         ("vq_index", a_indices, (params, audio, mask, text, key))],
+        [("codec_decode", b_codec, (params, idx)),
+         ("mel", b_mel, (params, idx)),
+         ("vocoder", b_voc, (params, idx))],
+    ]
+
+    latent_s = jax.eval_shape(a_encode, params, audio, mask, text,
+                              key).shape[1]
     breakdown = {}
     total_flops = 0.0
-    for name, pf in prefixes:
-        jfn = jax.jit(lambda *a, _f=pf: jnp.sum(jnp.ravel(_f(*a))[-4:]))
-        args = (params, audio, mask, text, key)
-        compiled = jfn.lower(*args).compile()
-        if name == "encode":
-            latent_s = jax.eval_shape(pf, *args).shape[1]
-        float(compiled(*args))  # warm
-        # min-of-5: prefix DIFFERENCES amplify single-run noise (a fast
-        # outlier in prefix k shows up as a phantom cost in stage k+1)
-        dt = min(_time_once(lambda: float(compiled(*args)))
-                 for _ in range(5)) - disp
-        cost = compiled.cost_analysis()
-        fl = float(cost.get("flops", 0.0)) if cost else 0.0
-        stage_dt = max(dt - prev_dt, 5e-4)
-        stage_fl = max(fl - prev_fl, 0.0)
-        if name == "sampler":   # scan body counted once by XLA -> analytic
-            stage_fl = STEPS * _dit_fwd_flops(
-                cfg.dit, audio.shape[0], latent_s, text.shape[1])
-        prev_dt, prev_fl = dt, fl
-        total_flops += stage_fl
-        breakdown[name] = {
-            "seconds": round(stage_dt, 4),
-            "gflops": round(stage_fl / 1e9, 1),
-            "tflops_per_s": round(stage_fl / stage_dt / 1e12, 1),
-            "mfu": round(stage_fl / stage_dt / (PEAK_TFLOPS * 1e12), 4),
-        }
+    group_sum = 0.0
+    for group in groups:
+        prev_dt, prev_fl = 0.0, 0.0
+        for name, pf, args in group:
+            jfn = jax.jit(lambda *a, _f=pf: jnp.sum(jnp.ravel(_f(*a))[-4:]))
+            compiled = jfn.lower(*args).compile()
+            float(compiled(*args))  # warm
+            # min-of-5: prefix DIFFERENCES amplify single-run noise (a
+            # fast outlier in prefix k is a phantom cost in stage k+1)
+            dt = min(_time_once(lambda: float(compiled(*args)))
+                     for _ in range(5)) - disp
+            cost = compiled.cost_analysis()
+            fl = float(cost.get("flops", 0.0)) if cost else 0.0
+            stage_dt = max(dt - prev_dt, 5e-4)
+            stage_fl = max(fl - prev_fl, 0.0)
+            if name == "sampler":  # scan body counted once -> analytic
+                stage_fl = STEPS * _dit_fwd_flops(
+                    cfg.dit, audio.shape[0], latent_s, text.shape[1])
+            prev_dt, prev_fl = dt, fl
+            total_flops += stage_fl
+            breakdown[name] = {
+                "seconds": round(stage_dt, 4),
+                "gflops": round(stage_fl / 1e9, 1),
+                "tflops_per_s": round(stage_fl / stage_dt / 1e12, 1),
+                "mfu": round(stage_fl / stage_dt / (PEAK_TFLOPS * 1e12), 4),
+            }
+        group_sum += prev_dt
     stage_sum = sum(b["seconds"] for b in breakdown.values())
-    # residual between the prefix-accounted pipeline and the official e2e
-    # program (which also returns the waveform buffer): output
-    # materialization + timing noise; telescoping makes this ~1-2%.
+    # residual vs the official e2e (two async dispatches + readback):
+    # one dispatch latency rides the pipeline; telescoping keeps ~1-2%.
     breakdown["unattributed"] = {
         "seconds": round(max(total_dt - disp - stage_sum, 0.0), 4)}
     mfu = round(total_flops / total_dt / (PEAK_TFLOPS * 1e12), 4)
     print(f"# stage sum {stage_sum:.3f}s vs e2e-disp {total_dt - disp:.3f}s"
           f"; dispatch {disp*1e3:.1f}ms", file=sys.stderr)
     return breakdown, mfu
+
+
+def codec_decode_stage(cfg, params, indices, output_length):
+    from ditto_tts_tpu.codec import encodec as codec_mod
+    return codec_mod.codec_decode(params.codec, cfg.codec, indices,
+                                  output_length=output_length)
 
 
 def _dit_fwd_flops(dit, b, s, st):

@@ -45,7 +45,10 @@ def lstm_layer(params, x):
     batch = x.shape[1]
     h0 = jnp.zeros((batch, hidden), x.dtype)
     c0 = jnp.zeros((batch, hidden), x.dtype)
-    _, ys = jax.lax.scan(step, (h0, c0), x_proj)
+    # unroll: the [B, H] recurrent matmul is tiny, so per-iteration loop
+    # overhead dominates the serial bottleneck; 8 steps per loop trip
+    # amortize it without a visible compile-time cost at T<=1500
+    _, ys = jax.lax.scan(step, (h0, c0), x_proj, unroll=8)
     return ys
 
 

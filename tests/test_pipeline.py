@@ -128,3 +128,20 @@ def test_synthesize_with_slp(params):
         assert np.isfinite(np.asarray(wav)).all()
     finally:
         byt5_mod.byt5_small_config = orig
+
+
+def test_synthesize_pipelined_matches_one_jit(params):
+    """The two-dispatch serving split must produce the SAME waveform as
+    the single-jit reference path (identical math, identical keys)."""
+    from ditto_tts_tpu.infer.generator import build_synthesize_pipelined
+
+    one = jax.jit(build_synthesize(CFG))
+    two = build_synthesize_pipelined(CFG)
+    audio = jnp.asarray(0.1 * np.random.default_rng(3)
+                        .standard_normal((2, 1, 256)), jnp.float32)
+    mask = jnp.ones((2, 256), jnp.int32)
+    text = jnp.asarray(np.random.default_rng(4).integers(0, 32, (2, 20)))
+    w1 = np.asarray(one(params, audio, mask, text, jax.random.key(5)))
+    w2 = np.asarray(two(params, audio, mask, text, jax.random.key(5)))
+    assert w1.shape == w2.shape
+    np.testing.assert_allclose(w2, w1, rtol=1e-5, atol=1e-5)
