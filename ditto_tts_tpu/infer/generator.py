@@ -55,6 +55,14 @@ class GeneratorParams:
     slp: Optional[Dict] = None
 
 
+def _prep_blocks(params: GeneratorParams, cfg: PipelineConfig):
+    """Stack/cast/fuse the DiT blocks ONCE per jitted region (outside the
+    reverse-diffusion scan); None on the unscanned path."""
+    if cfg.dit.scan_blocks and cfg.dit.num_layers > 1:
+        return dit_mod.prepare_blocks(params.dit, cfg.dit)
+    return None
+
+
 def encode_prompt_latents(params: GeneratorParams, cfg: PipelineConfig,
                           audio, padding_mask=None):
     """Waveform -> channel-meaned latents [B, T<=1024, 768]
@@ -119,8 +127,11 @@ def build_synthesize(cfg: PipelineConfig, *, num_steps: Optional[int] = None,
         x_init = noised if cond_by_audio else jax.random.normal(
             k_init, latents.shape, latents.dtype)
 
+        prep = _prep_blocks(params, cfg)
+
         def model_fn(x, t):
-            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
+            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t,
+                                         prepared_blocks=prep)
 
         if kind == "ddim":
             refined = ddim_sample(model_fn, k_samp, x_init, schedule, taus,
@@ -190,8 +201,11 @@ def build_stage_fns(cfg: PipelineConfig, *, num_steps: Optional[int] = None,
         text_emb = gpt2_mod.embed_tokens(
             params.gpt2, text_ids[:, :cfg.dit.max_token_length])
 
+        prep = _prep_blocks(params, cfg)
+
         def model_fn(x, t):
-            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
+            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t,
+                                         prepared_blocks=prep)
 
         k_init, k_samp = jax.random.split(key)
         x_init = jax.random.normal(k_init, latents.shape, latents.dtype)
@@ -230,8 +244,11 @@ def build_stage_fns(cfg: PipelineConfig, *, num_steps: Optional[int] = None,
         x_init = noised if cond_by_audio else jax.random.normal(
             k_init, latents.shape, latents.dtype)
 
+        prep = _prep_blocks(params, cfg)
+
         def model_fn(x, t):
-            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
+            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t,
+                                         prepared_blocks=prep)
 
         if kind == "ddim":
             refined = ddim_sample(model_fn, k_samp, x_init, schedule, taus,
@@ -292,8 +309,11 @@ def build_synthesize_recorded(cfg: PipelineConfig, *,
                           ref_compat=compat)
         x_init = noised if cond_by_audio else init_noise
 
+        prep = _prep_blocks(params, cfg)
+
         def model_fn(x, t):
-            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
+            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t,
+                                         prepared_blocks=prep)
 
         refined = ddpm_sample(model_fn, jax.random.key(0), x_init, schedule,
                               taus, noise_seq=step_noise,
@@ -346,8 +366,11 @@ def build_synthesize_with_slp(cfg: PipelineConfig, *,
         frame_idx = jnp.arange(max_frames)[None, :]
         valid = frame_idx < frames[:, None]
 
+        prep = _prep_blocks(params, cfg)
+
         def model_fn(x, t):
-            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t)
+            return dit_mod.ditto_forward(params.dit, cfg.dit, x, text_emb, t,
+                                         prepared_blocks=prep)
 
         refined = ddpm_sample(model_fn, k_samp, x_init, schedule, taus,
                               clip_denoised=cfg.sampler.clip_denoised,

@@ -253,14 +253,40 @@ def dit_block(params, cfg: DiTConfig, x, text_emb, rope_cs, *,
     # ===== gated MLP =====
     residual = x
     xn = layer_norm(params["norm3"], x)
-    up = jax.nn.gelu(dense(params["mlp_fc1"], xn), approximate=False)
-    gate = jax.nn.sigmoid(dense(params["gate"], xn))
+    if "mlp_fc1_gate" in params:
+        # prepared blocks fuse the fc1/gate projections into one GEMM
+        ug = dense(params["mlp_fc1_gate"], xn)
+        up, gate = jnp.split(ug, 2, axis=-1)
+        up = jax.nn.gelu(up, approximate=False)
+        gate = jax.nn.sigmoid(gate)
+    else:
+        up = jax.nn.gelu(dense(params["mlp_fc1"], xn), approximate=False)
+        gate = jax.nn.sigmoid(dense(params["gate"], xn))
     x = dense(params["mlp_fc2"], up * gate) + residual
     return x
 
 
+def prepare_blocks(params, cfg: DiTConfig):
+    """Stack the block params for the scanned forward, cast to the
+    compute dtype, and fuse the fc1/gate projections into one GEMM.
+
+    Call this ONCE per jitted region (outside any diffusion-step scan)
+    and pass the result to ``ditto_forward(prepared_blocks=...)``: done
+    inside the sampler's scan body instead, the stack + bf16 casts move
+    the full parameter set (~170 MB) through HBM EVERY reverse step.
+    Requires ``cfg.scan_blocks``.
+    """
+    cdt = jnp.dtype(cfg.compute_dtype)
+    # NB: fusing mlp_fc1+gate into one [h, 2m] GEMM here measured ~5%
+    # SLOWER on the 50-step sampler (XLA schedules the two 3072-wide
+    # GEMMs better than one 6144-wide one at S=750) — keep them split.
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves).astype(cdt), *params["blocks"])
+
+
 def ditto_forward(params, cfg: DiTConfig, x, text_emb, t, *,
-                  dropout_key: Optional[jax.Array] = None):
+                  dropout_key: Optional[jax.Array] = None,
+                  prepared_blocks=None):
     """Noise prediction (ref: DiTTO.py:66-94).
 
     x: [B, S, H] noisy latents; text_emb: [B, St, Xd]; t: [B] int32.
@@ -283,7 +309,8 @@ def ditto_forward(params, cfg: DiTConfig, x, text_emb, t, *,
     if cdt != x.dtype:
         cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
             lambda a: a.astype(cdt), t)
-        blocks = cast(blocks)
+        if prepared_blocks is None:
+            blocks = cast(blocks)
         x = x.astype(cdt)
         text_emb = text_emb.astype(cdt)
     rope_cs = rope_tables(s, cfg.head_dim, dtype=x.dtype)
@@ -294,9 +321,11 @@ def ditto_forward(params, cfg: DiTConfig, x, text_emb, t, *,
             dit_block, static_argnums=(1,),
             policy=jax.checkpoint_policies.nothing_saveable)
 
-    if cfg.scan_blocks and cfg.num_layers > 1:
-        stacked = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves), *blocks)
+    if prepared_blocks is not None or (cfg.scan_blocks
+                                       and cfg.num_layers > 1):
+        stacked = (prepared_blocks if prepared_blocks is not None
+                   else jax.tree_util.tree_map(
+                       lambda *leaves: jnp.stack(leaves), *blocks))
         keys = (jax.random.split(dropout_key, cfg.num_layers)
                 if dropout_key is not None else
                 jnp.zeros((cfg.num_layers, 2), jnp.uint32))

@@ -125,3 +125,83 @@ def conv1d_nlc_pallas(x, weight, bias=None, *, dilation: int = 1,
         interpret=interpret,
     )(x, x, w2, b_vec)
     return out[:, :t_out]
+
+
+# ---------------------------------------------------------------------------
+# time-minor (NCL) variant for narrow channel widths
+# ---------------------------------------------------------------------------
+
+def _kernel_ncl(xa_ref, xb_ref, w_ref, b_ref, o_ref, acc_ref, *,
+                k: int, dil: int, bt: int, halo: int):
+    x = jnp.concatenate([xa_ref[0], xb_ref[0][:, :halo]], axis=1)
+    # [O, C] x [C, bt] per tap: contraction over the (sublane) channel dim
+    acc_ref[...] = b_ref[...] + jax.lax.dot_general(
+        w_ref[0], x[:, :bt],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [O, bt]
+    for m in range(1, k):
+        acc_ref[...] += jax.lax.dot_general(
+            w_ref[m], x[:, m * dil:m * dil + bt],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def conv1d_ncl_pallas(x, weight, bias=None, *, dilation: int = 1,
+                      compute_dtype=None, block_t: int = 0,
+                      interpret: bool = False):
+    """Time-minor twin of ``conv1d_nlc_pallas``: x [B, C, T] -> [B, O, T'].
+
+    For the narrow late BigVGAN stages (C=24/48) the channels-last HBM
+    layout pads the 128-lane minor dim 5.3x/2.7x; carrying [B, C, T]
+    keeps arrays dense (time on lanes, channels on sublanes) and each
+    tap contracts [O, C] x [C, bt] on the MXU with the fp32 accumulator
+    in VMEM.  weight: [O, I, K] torch layout; VALID, stride 1.
+    """
+    out_dtype = x.dtype
+    if compute_dtype is None and x.dtype != weight.dtype:
+        compute_dtype = jnp.promote_types(x.dtype, weight.dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
+
+    b_, c_in, t_in = x.shape
+    o, i, k = weight.shape
+    assert i == c_in, (i, c_in)
+    t_out = t_in - (k - 1) * dilation
+    assert t_out > 0
+
+    halo = (k - 1) * dilation
+    halo_a = max(-(-halo // 128) * 128, 128)
+    if block_t <= 0:
+        # lanes are time: big blocks amortize; VMEM is cheap at C<=48
+        block_t = 8192
+    bt = min(block_t, -(-t_out // 128) * 128)
+    assert halo_a <= bt, (halo_a, bt)
+    nt = -(-t_out // bt)
+
+    need = (nt + 1) * bt
+    if need > t_in:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, need - t_in)))
+
+    w2 = jnp.transpose(weight, (2, 0, 1))               # [K, O, I]
+    b_vec = (bias if bias is not None
+             else jnp.zeros((o,), jnp.float32)).astype(jnp.float32)
+    b_vec = b_vec.reshape(o, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_ncl, k=k, dil=dilation, bt=bt,
+                          halo=halo_a),
+        grid=(b_, nt),
+        in_specs=[
+            pl.BlockSpec((1, c_in, bt), lambda b, t: (b, 0, t)),
+            pl.BlockSpec((1, c_in, bt), lambda b, t: (b, 0, t + 1)),
+            pl.BlockSpec((k, o, c_in), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((o, 1), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, o, bt), lambda b, t: (b, 0, t)),
+        out_shape=jax.ShapeDtypeStruct((b_, o, nt * bt), out_dtype),
+        scratch_shapes=[pltpu.VMEM((o, bt), jnp.float32)],
+        interpret=interpret,
+    )(x, x, w2, b_vec)
+    return out[:, :, :t_out]

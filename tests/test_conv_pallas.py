@@ -83,3 +83,36 @@ def test_taps2_upsample_shape():
     rng = np.random.default_rng(4)
     got, want = _case(2, 130, 32, 64, 2, 1, rng)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ncl_variant_matches_oracle():
+    from ditto_tts_tpu.nn.conv import conv1d
+    from ditto_tts_tpu.ops.conv_pallas import conv1d_ncl_pallas
+
+    rng = np.random.default_rng(9)
+    for b, c, o, t, k, dil in [(1, 8, 8, 300, 3, 1), (2, 16, 16, 400, 7, 3),
+                               (1, 24, 24, 520, 11, 5), (2, 8, 16, 290, 7, 1)]:
+        x = jnp.asarray(rng.standard_normal((b, c, t)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((o, c, k)), jnp.float32)
+        bv = jnp.asarray(rng.standard_normal(o), jnp.float32)
+        want = np.asarray(conv1d(x, w, bv, dilation=dil))
+        got = np.asarray(conv1d_ncl_pallas(x, w, bv, dilation=dil,
+                                           interpret=True, block_t=256))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ncl_variant_bf16():
+    from ditto_tts_tpu.ops.conv_pallas import conv1d_ncl_pallas
+    from ditto_tts_tpu.nn.conv import conv1d
+
+    rng = np.random.default_rng(10)
+    b, c, t, k, dil = 1, 16, 600, 7, 3
+    x = jnp.asarray(rng.standard_normal((b, c, t)), jnp.bfloat16)
+    w = jnp.asarray(0.1 * rng.standard_normal((c, c, k)), jnp.float32)
+    want = np.asarray(conv1d(x, w, None, dilation=dil,
+                             compute_dtype=jnp.bfloat16), np.float32)
+    got = np.asarray(conv1d_ncl_pallas(x, w, None, dilation=dil,
+                                       compute_dtype=jnp.bfloat16,
+                                       interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

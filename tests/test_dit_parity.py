@@ -246,3 +246,24 @@ def test_remat_identical_forward_and_grads():
                     jax.tree_util.tree_leaves(g_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_prepared_blocks_match_unprepared():
+    """prepare_blocks (stack + cast + fc1/gate fusion outside the scan)
+    must be bit-identical to the in-forward stacking path."""
+    from ditto_tts_tpu.models.dit import prepare_blocks
+
+    for cdtype in ("float32", "bfloat16"):
+        cfg = DiTConfig(hidden_dim=64, num_layers=3, num_heads=4,
+                        time_dim=32, text_dim=64, scan_blocks=True,
+                        compute_dtype=cdtype)
+        params = init_ditto(jax.random.key(0), cfg)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, 12, 64)), jnp.float32)
+        te = jnp.asarray(rng.standard_normal((2, 7, 64)), jnp.float32)
+        t = jnp.asarray([3, 9], jnp.int32)
+        want = np.asarray(ditto_forward(params, cfg, x, te, t))
+        prep = prepare_blocks(params, cfg)
+        got = np.asarray(ditto_forward(params, cfg, x, te, t,
+                                       prepared_blocks=prep))
+        np.testing.assert_array_equal(got, want)
