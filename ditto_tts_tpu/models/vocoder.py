@@ -55,24 +55,46 @@ def _act(x, act_params, cfg: VocoderConfig, impl: str):
     return anti_aliased_activation(x, fn)
 
 
-def _conv_same(p, x, *, dilation=1, cdt=None):
+def _conv_same(p, x, *, dilation=1, cdt=None, conv_fn=None):
     k = p["weight"].shape[-1]
     pad = _get_padding(k, dilation)
     x = pad1d(x, (pad, pad))
-    return conv1d(x, p["weight"], p.get("bias"), dilation=dilation,
-                  compute_dtype=cdt)
+    return (conv_fn or conv1d)(x, p["weight"], p.get("bias"),
+                               dilation=dilation, compute_dtype=cdt)
 
 
-def _amp_block(p, cfg: VocoderConfig, x, dilations, impl: str, cdt):
+def _amp_block(p, cfg: VocoderConfig, x, dilations, impl: str, cdt,
+               conv_fn=None):
     """AMPBlock1: [act, dilated conv, act, conv] x len(dilations), residual."""
     n = len(p["convs1"])
     for i in range(n):
         xt = _act(x, p["act1"][i], cfg, impl)
-        xt = _conv_same(p["convs1"][i], xt, dilation=dilations[i], cdt=cdt)
+        xt = _conv_same(p["convs1"][i], xt, dilation=dilations[i], cdt=cdt,
+                        conv_fn=conv_fn)
         xt = _act(xt, p["act2"][i], cfg, impl)
-        xt = _conv_same(p["convs2"][i], xt, cdt=cdt)
+        xt = _conv_same(p["convs2"][i], xt, cdt=cdt, conv_fn=conv_fn)
         x = x + xt
     return x
+
+
+def _resolve_ncl_conv_fn():
+    """Time-minor VMEM-accumulator conv for the hybrid narrow stages
+    (slope microbench, v5e, k=7 d=3: 0.43 vs 1.67 ms at C=48, 0.29 vs
+    1.47 at C=24 against the channels-last gemm form — the [B, T, C]
+    HBM layout pads the 128-lane minor dim 2.7-5.3x at these widths)."""
+    import jax as _jax
+    from ..ops.conv_pallas import conv1d_ncl_pallas
+
+    interp = _jax.default_backend() != "tpu"
+
+    def f(x, w, b=None, *, dilation=1, compute_dtype=None):
+        if w.shape[0] < 8:          # conv_post (O=1): sublane-starved
+            return conv1d(x, w, b, dilation=dilation,
+                          compute_dtype=compute_dtype)
+        return conv1d_ncl_pallas(x, w, b, dilation=dilation,
+                                 compute_dtype=compute_dtype,
+                                 interpret=interp)
+    return f
 
 
 def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
@@ -253,28 +275,58 @@ def _amp_block_nlc(p, cfg, x, dilations, impl, cdt, conv_fn):
 
 
 def _bigvgan_forward_nlc(params, cfg: VocoderConfig, mel, impl: str):
-    """Same math as the NCL body, carried [B, T, C] end to end (one
-    transpose in, one out)."""
+    """Same math as the NCL body, carried [B, T, C] through the wide
+    stages (one transpose in).  With conv_impl="pallas" the carry flips
+    to time-minor [B, C, T] once the width drops below 96: at C=24/48
+    the channels-last HBM layout pads the 128-lane minor dim 2.7-5.3x,
+    so every op pays phantom bandwidth; the NCL carry is dense and the
+    narrow convs run the time-minor VMEM-accumulator kernel."""
     cdt = jnp.dtype(cfg.compute_dtype)
     conv_fn = _resolve_conv_fn(cfg)
+    hybrid = cfg.conv_impl == "pallas"
+    ncl_conv = _resolve_ncl_conv_fn() if hybrid else None
     x = mel.astype(cfg.carry_dtype).transpose(0, 2, 1)     # [B, T, C]
     x = _conv_same_nlc(params["conv_pre"], x, cdt=cdt, conv_fn=conv_fn)
     num_kernels = len(cfg.resblock_kernel_sizes)
+    layout = "nlc"
     for i, rate in enumerate(cfg.upsample_rates):
         k = cfg.upsample_kernel_sizes[i]
         up = params["ups"][i]
-        y = conv_transpose1d_poly(x, up["weight"], up.get("bias"),
-                                  stride=rate, compute_dtype=cdt,
-                                  layout="nlc", conv_fn=conv_fn)
-        trim = (k - rate) // 2
-        if trim:
-            y = y[:, trim:-trim]
-        acc = None
-        for j, rb in enumerate(params["resblocks"][i]):
-            out = _amp_block_nlc(rb, cfg, y, cfg.resblock_dilation_sizes[j],
-                                 impl, cdt, conv_fn)
-            acc = out if acc is None else acc + out
+        if (hybrid and layout == "nlc"
+                and up["weight"].shape[1] < 96):   # [I, O, K] convtr
+            x = x.transpose(0, 2, 1)               # -> [B, C, T]
+            layout = "ncl"
+        if layout == "nlc":
+            y = conv_transpose1d_poly(x, up["weight"], up.get("bias"),
+                                      stride=rate, compute_dtype=cdt,
+                                      layout="nlc", conv_fn=conv_fn)
+            trim = (k - rate) // 2
+            if trim:
+                y = y[:, trim:-trim]
+            acc = None
+            for j, rb in enumerate(params["resblocks"][i]):
+                out = _amp_block_nlc(rb, cfg, y,
+                                     cfg.resblock_dilation_sizes[j],
+                                     impl, cdt, conv_fn)
+                acc = out if acc is None else acc + out
+        else:
+            y = conv_transpose1d_poly(x, up["weight"], up.get("bias"),
+                                      stride=rate, compute_dtype=cdt,
+                                      layout="ncl", conv_fn=ncl_conv)
+            trim = (k - rate) // 2
+            if trim:
+                y = y[..., trim:-trim]
+            acc = None
+            for j, rb in enumerate(params["resblocks"][i]):
+                out = _amp_block(rb, cfg, y,
+                                 cfg.resblock_dilation_sizes[j],
+                                 "polyphase", cdt, conv_fn=ncl_conv)
+                acc = out if acc is None else acc + out
         x = acc / num_kernels
+    if layout == "ncl":
+        x = _act(x, params["act_post"], cfg, "polyphase")
+        x = _conv_same(params["conv_post"], x, cdt=cdt, conv_fn=ncl_conv)
+        return jnp.clip(x.astype(jnp.float32), -1.0, 1.0)  # already [B,1,T]
     x = _act_nlc(x, params["act_post"], cfg, impl)
     x = _conv_same_nlc(params["conv_post"], x, cdt=cdt, conv_fn=conv_fn)
     return jnp.clip(x.astype(jnp.float32), -1.0, 1.0).transpose(0, 2, 1)

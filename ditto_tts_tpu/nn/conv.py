@@ -216,7 +216,7 @@ def conv_transpose1d_poly(x, weight, bias=None, *, stride=1,
             y = y + bias[None, None, :].astype(y.dtype)
         return y
     xp = jnp.pad(x, ((0, 0), (0, 0), (taps - 1, taps - 1)))
-    y = conv1d(xp, w2, None, compute_dtype=compute_dtype)
+    y = (conv_fn or conv1d)(xp, w2, None, compute_dtype=compute_dtype)
     n, _, u = y.shape
     # [N, r*O, U]: channel = p*O + o -> [N, O, U*r] with time = u*r + p
     y = y.reshape(n, r, o, u).transpose(0, 2, 3, 1).reshape(n, o, u * r)

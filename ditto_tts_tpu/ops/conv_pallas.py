@@ -174,8 +174,12 @@ def conv1d_ncl_pallas(x, weight, bias=None, *, dilation: int = 1,
     halo = (k - 1) * dilation
     halo_a = max(-(-halo // 128) * 128, 128)
     if block_t <= 0:
-        # lanes are time: big blocks amortize; VMEM is cheap at C<=48
-        block_t = 8192
+        # lanes are time; per-lane-column VMEM: x 2 copies x 2 buffers
+        # (bf16) + concat copy + fp32 scratch + tap temps + out. The
+        # budget is deliberately conservative: C=48/k=11 at bt=8192
+        # measured 18.2 MB of scoped VMEM against the 16 MB limit
+        denom = 8 * c_in + 12 * o
+        block_t = min(max((6_500_000 // denom) // 128 * 128, 256), 8192)
     bt = min(block_t, -(-t_out // 128) * 128)
     assert halo_a <= bt, (halo_a, bt)
     nt = -(-t_out // bt)
