@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ditto_tts_tpu.core.config import DiTConfig, PipelineConfig, SamplerConfig
 from ditto_tts_tpu.data.processing import decode_audio
-from ditto_tts_tpu.infer.generator import GeneratorParams, build_synthesize
+from ditto_tts_tpu.infer.generator import GeneratorParams
 from ditto_tts_tpu.models import dit as dit_mod
 from ditto_tts_tpu.models import nac as nac_mod
 from ditto_tts_tpu.models import vocoder as voc_mod
@@ -108,7 +108,9 @@ def main():
     tok = gpt2_tokenizer(args)
     text_ids = jnp.asarray(tok(args.text, padding="longest")["input_ids"])
 
-    fn = jax.jit(build_synthesize(cfg, cond_by_audio=args.cond_by_audio))
+    # serving path: two async jit dispatches (see build_synthesize_pipelined)
+    from ditto_tts_tpu.infer.generator import build_synthesize_pipelined
+    fn = build_synthesize_pipelined(cfg, cond_by_audio=args.cond_by_audio)
     out = np.asarray(jax.block_until_ready(
         fn(params, audio, mask, text_ids, jax.random.key(args.seed))))[0]
 
