@@ -9,9 +9,14 @@ Re-design of the reference serving path (ref: src/model/SpeechGenerator.py:
   text embeddings -> repeat to 2 codebook channels -> VectorQuantizer ->
   codec decode -> mel -> BigVGAN -> waveform.
 
-The whole chain after host-side tokenization is ONE jitted function: the
-sampler is a lax.scan, the vocoder a conv stack — no host round-trips.
-Step count is a parameter (ref ran 1000; the metric path is 50).
+The chain after host-side tokenization runs with no host round-trips:
+``build_synthesize`` is ONE jitted function (the sampler a lax.scan, the
+vocoder a conv stack) and is the parity/reference path;
+``build_synthesize_pipelined`` is the production serving path — the same
+math as TWO async jit dispatches split at the code indices (the codec
+LSTM scan sharing an XLA program with the DiT scan costs ~70 ms; the
+indices stay on device). Step count is a parameter (ref ran 1000; the
+metric path is 50).
 
 The ``use_slp`` path implements the *corrected* SLP semantics (quirk #5):
 argmax duration class -> seconds -> latent frames, realized as a masked

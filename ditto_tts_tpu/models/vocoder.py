@@ -103,8 +103,10 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
     """mel: [B, num_mels, T] -> waveform [B, 1, T * prod(rates)].
 
     ``aa_impl`` selects the anti-aliased activation implementation
-    ("polyphase" | "composed" | "fused_pallas"); defaults to
-    ``cfg.aa_impl``. ``fused=True`` is a legacy alias for "fused_pallas".
+    ("fused_conv" | "polyphase" | "polyphase_gemm" | "composed" |
+    "fused_pallas"); defaults to ``cfg.aa_impl`` (see the VocoderConfig
+    docstring for the dispatch semantics). ``fused=True`` is a legacy
+    alias for "fused_pallas".
     ``layout`` ("ncl" | "nlc", default ``cfg.layout``) selects the carry
     layout: "nlc" keeps the signal channels-last throughout — the layout
     TPU conv lowering targets natively (channels = GEMM contraction axis),

@@ -85,11 +85,11 @@ def polyphase_anti_aliased_activation(x, act_fn, *, kernel_size: int = 12,
 
     Everything is static slices + multiply-adds, so XLA fuses it into a few
     VPU passes — no depthwise convs, no stride-2/lhs-dilated convolutions,
-    and an HLO an order of magnitude smaller than the composed form. This is
-    the default vocoder activation on TPU; the Pallas kernel in
-    ops/snake_pallas.py implements the same decomposition but hangs the
-    tunneled single-chip backend used for CI benches (see CLAUDE.md), so it
-    stays opt-in.
+    and an HLO an order of magnitude smaller than the composed form. The
+    vocoder's standalone activations (act_post, narrow widths) use this
+    form; inside AMP blocks at 96-384 channels the default is the fused
+    act->conv Pallas kernel (ops/act_conv_pallas.py, aa_impl="fused_conv"),
+    which embeds the same decomposition ahead of the conv taps.
 
     x: time on ``time_axis`` (default last, i.e. [B, C, T]; pass
     time_axis=1 for the channels-last [B, T, C] vocoder path).
