@@ -101,15 +101,38 @@ def init_decoder(key, cfg: CodecConfig, dtype=jnp.float32) -> Dict:
     return params
 
 
-def _resblock(p, cfg: CodecConfig, x, dilation: int):
+def _conv_fn(cfg: CodecConfig):
+    """Stride-1 conv lowering for the [B, C, T] SEANet bodies: the
+    time-minor VMEM-accumulator Pallas kernel where the shape qualifies
+    (ops/conv_pallas.py — same dispatch rationale as the vocoder's
+    narrow stages; the codec is 32-512 channels at up to 240k samples).
+    cfg.conv_impl='xla' restores lax.conv everywhere."""
+    if getattr(cfg, "conv_impl", "pallas") != "pallas":
+        return None
+    import jax as _jax
+
+    from ..ops.conv_pallas import conv1d_ncl_pallas
+
+    interp = _jax.default_backend() != "tpu"
+
+    def f(x, w, b=None, *, dilation=1):
+        if min(w.shape[0], w.shape[1]) < 8:   # 1-ch waveform ends
+            from ..nn.conv import conv1d
+            return conv1d(x, w, b, dilation=dilation)
+        return conv1d_ncl_pallas(x, w, b, dilation=dilation,
+                                 interpret=interp)
+    return f
+
+
+def _resblock(p, cfg: CodecConfig, x, dilation: int, conv_fn=None):
     y = jax.nn.elu(x)
     y = causal_conv1d(y, p["conv1"]["weight"], p["conv1"]["bias"],
-                      dilation=dilation, causal=cfg.causal)
+                      dilation=dilation, causal=cfg.causal, conv_fn=conv_fn)
     y = jax.nn.elu(y)
     y = causal_conv1d(y, p["conv2"]["weight"], p["conv2"]["bias"],
-                      causal=cfg.causal)
+                      causal=cfg.causal, conv_fn=conv_fn)
     short = causal_conv1d(x, p["shortcut"]["weight"], p["shortcut"]["bias"],
-                          causal=cfg.causal)
+                          causal=cfg.causal, conv_fn=conv_fn)
     return short + y
 
 
@@ -122,24 +145,29 @@ def _residual_lstm(params, x):
 
 def encode(params, cfg: CodecConfig, x):
     """x: [B, channels, L] waveform -> [B, dimension, frames] latents."""
+    cf = _conv_fn(cfg)
     h = causal_conv1d(x, params["init_conv"]["weight"],
-                      params["init_conv"]["bias"], causal=cfg.causal)
+                      params["init_conv"]["bias"], causal=cfg.causal,
+                      conv_fn=cf)
     for stage, ratio in zip(params["stages"], reversed(cfg.ratios)):
         for j, rb in enumerate(stage["resblocks"]):
-            h = _resblock(rb, cfg, h, cfg.dilation_base ** j)
+            h = _resblock(rb, cfg, h, cfg.dilation_base ** j, conv_fn=cf)
         h = jax.nn.elu(h)
         h = causal_conv1d(h, stage["down"]["weight"], stage["down"]["bias"],
                           stride=ratio, causal=cfg.causal)
     h = _residual_lstm(params["lstm"], h)
     h = jax.nn.elu(h)
     return causal_conv1d(h, params["final_conv"]["weight"],
-                         params["final_conv"]["bias"], causal=cfg.causal)
+                         params["final_conv"]["bias"], causal=cfg.causal,
+                         conv_fn=cf)
 
 
 def decode(params, cfg: CodecConfig, z):
     """z: [B, dimension, frames] -> [B, channels, L] waveform."""
+    cf = _conv_fn(cfg)
     h = causal_conv1d(z, params["init_conv"]["weight"],
-                      params["init_conv"]["bias"], causal=cfg.causal)
+                      params["init_conv"]["bias"], causal=cfg.causal,
+                      conv_fn=cf)
     h = _residual_lstm(params["lstm"], h)
     for stage, ratio in zip(params["stages"], cfg.ratios):
         h = jax.nn.elu(h)
@@ -148,7 +176,8 @@ def decode(params, cfg: CodecConfig, z):
             stride=ratio, causal=cfg.causal,
             trim_right_ratio=cfg.trim_right_ratio)
         for j, rb in enumerate(stage["resblocks"]):
-            h = _resblock(rb, cfg, h, cfg.dilation_base ** j)
+            h = _resblock(rb, cfg, h, cfg.dilation_base ** j, conv_fn=cf)
     h = jax.nn.elu(h)
     return causal_conv1d(h, params["final_conv"]["weight"],
-                         params["final_conv"]["bias"], causal=cfg.causal)
+                         params["final_conv"]["bias"], causal=cfg.causal,
+                         conv_fn=cf)

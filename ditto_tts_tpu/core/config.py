@@ -68,6 +68,10 @@ class CodecConfig(_JsonMixin):
     causal: bool = True
     compress: int = 2
     trim_right_ratio: float = 1.0
+    # stride-1 SEANet conv lowering: "pallas" (time-minor VMEM-accumulator
+    # kernel, ops/conv_pallas.py) | "xla" (lax.conv). Exact to fp round-off
+    # (tap summation order); both paths are golden-tested.
+    conv_impl: str = "pallas"
 
     @property
     def hop_length(self) -> int:

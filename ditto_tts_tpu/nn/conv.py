@@ -252,12 +252,14 @@ def _extra_padding_for_conv1d(length, kernel_size, stride, padding_total):
 
 
 def causal_conv1d(x, weight, bias=None, *, stride=1, dilation=1,
-                  causal=True, pad_mode="reflect"):
+                  causal=True, pad_mode="reflect", conv_fn=None):
     """EnCodec conv with causal/centered auto-padding.
 
     Matches HF EncodecConv1d.forward: effective kernel = (k-1)*d + 1,
     padding_total = eff_k - stride, plus extra right padding so the final
     frame is complete; causal puts all of padding_total on the left.
+    ``conv_fn`` overrides the stride-1 conv lowering (e.g. the time-minor
+    Pallas kernel); strided convs always use lax.
     """
     k = weight.shape[-1]
     eff_k = (k - 1) * dilation + 1
@@ -270,6 +272,8 @@ def causal_conv1d(x, weight, bias=None, *, stride=1, dilation=1,
         right = padding_total // 2
         left = padding_total - right
         x = pad1d(x, (left, right + extra), mode=pad_mode)
+    if conv_fn is not None and stride == 1:
+        return conv_fn(x, weight, bias, dilation=dilation)
     return conv1d(x, weight, bias, stride=stride, dilation=dilation)
 
 

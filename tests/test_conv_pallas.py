@@ -116,3 +116,26 @@ def test_ncl_variant_bf16():
                                        compute_dtype=jnp.bfloat16,
                                        interpret=True), np.float32)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_codec_pallas_conv_impl_matches_xla():
+    """SEANet encode/decode with conv_impl='pallas' vs the lax path."""
+    from ditto_tts_tpu.codec import encodec as codec_mod
+    from ditto_tts_tpu.core.config import CodecConfig
+
+    cfg = CodecConfig(num_filters=8, dimension=16, ratios=(4, 2),
+                      codebook_size=32, num_quantizers=4, lstm_layers=1)
+    params = codec_mod.init_codec(jax.random.key(11), cfg)
+    rng = np.random.default_rng(12)
+    audio = jnp.asarray(0.1 * rng.standard_normal((2, 1, 512)), jnp.float32)
+
+    want_lat = codec_mod.codec_encode(params, cfg.replace(conv_impl="xla"),
+                                      audio, None)
+    got_lat = codec_mod.codec_encode(params, cfg, audio, None)
+    np.testing.assert_array_equal(np.asarray(got_lat), np.asarray(want_lat))
+
+    want = codec_mod.codec_decode(params, cfg.replace(conv_impl="xla"),
+                                  want_lat, output_length=512)
+    got = codec_mod.codec_decode(params, cfg, got_lat, output_length=512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
