@@ -174,11 +174,13 @@ def conv1d_ncl_pallas(x, weight, bias=None, *, dilation: int = 1,
     halo = (k - 1) * dilation
     halo_a = max(-(-halo // 128) * 128, 128)
     if block_t <= 0:
-        # lanes are time; per-lane-column VMEM: x 2 copies x 2 buffers
-        # (bf16) + concat copy + fp32 scratch + tap temps + out. The
-        # budget is deliberately conservative: C=48/k=11 at bt=8192
-        # measured 18.2 MB of scoped VMEM against the 16 MB limit
-        denom = 8 * c_in + 12 * o
+        # lanes are time; per-lane-column VMEM: x 2 copies x 2 buffers +
+        # concat copy (operand dtype!) + fp32 scratch/tap temp + out.
+        # Deliberately conservative: C=48/k=11/bf16 at bt=8192 measured
+        # 18.2 MB scoped and C=512->128/fp32 at bt=1152 measured 22.4 MB
+        # against the 16 MB limit.
+        isz = jnp.dtype(x.dtype).itemsize
+        denom = (8 * c_in + 4 * o) * isz + 8 * o
         block_t = min(max((6_500_000 // denom) // 128 * 128, 256), 8192)
     bt = min(block_t, -(-t_out // 128) * 128)
     assert halo_a <= bt, (halo_a, bt)
