@@ -106,14 +106,16 @@ def _conv_fn(cfg: CodecConfig):
     time-minor VMEM-accumulator Pallas kernel where the shape qualifies
     (ops/conv_pallas.py — same dispatch rationale as the vocoder's
     narrow stages; the codec is 32-512 channels at up to 240k samples).
-    cfg.conv_impl='xla' restores lax.conv everywhere."""
+    cfg.conv_impl='xla' restores lax.conv everywhere.  Off-TPU the
+    fallback is always lax.conv (interpret mode is test-only — forced
+    via ops.conv_pallas.FORCE_INTERPRET)."""
     if getattr(cfg, "conv_impl", "pallas") != "pallas":
         return None
-    import jax as _jax
-
+    from ..ops.conv_pallas import pallas_mode
+    interp = pallas_mode()
+    if interp is None:
+        return None
     from ..ops.conv_pallas import conv1d_ncl_pallas
-
-    interp = _jax.default_backend() != "tpu"
 
     def f(x, w, b=None, *, dilation=1):
         if min(w.shape[0], w.shape[1]) < 8:   # 1-ch waveform ends

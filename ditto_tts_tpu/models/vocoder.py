@@ -81,11 +81,12 @@ def _resolve_ncl_conv_fn():
     """Time-minor VMEM-accumulator conv for the hybrid narrow stages
     (slope microbench, v5e, k=7 d=3: 0.43 vs 1.67 ms at C=48, 0.29 vs
     1.47 at C=24 against the channels-last gemm form — the [B, T, C]
-    HBM layout pads the 128-lane minor dim 2.7-5.3x at these widths)."""
-    import jax as _jax
+    HBM layout pads the 128-lane minor dim 2.7-5.3x at these widths).
+    None off-TPU (callers fall back to lax.conv)."""
+    interp = _pallas_mode()
+    if interp is None:
+        return None
     from ..ops.conv_pallas import conv1d_ncl_pallas
-
-    interp = _jax.default_backend() != "tpu"
 
     def f(x, w, b=None, *, dilation=1, compute_dtype=None):
         if w.shape[0] < 8:          # conv_post (O=1): sublane-starved
@@ -206,6 +207,13 @@ def _pad_time(x, pad):
     return jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
 
 
+def _pallas_mode():
+    """None = no pallas off-TPU; else the interpret flag to pass.
+    (ops.conv_pallas.FORCE_INTERPRET is the CPU-test override.)"""
+    from ..ops.conv_pallas import pallas_mode
+    return pallas_mode()
+
+
 def _resolve_conv_fn(cfg: VocoderConfig):
     """conv_impl -> the channels-last VALID/stride-1 conv lowering.
 
@@ -215,11 +223,10 @@ def _resolve_conv_fn(cfg: VocoderConfig):
     matmul peak at C=768 (175 TF/s) and the 24/48-wide late stages are
     bound by the 128-lane-padded HBM layout either way."""
     if cfg.conv_impl == "pallas":
-        import jax as _jax
+        interp = _pallas_mode()
+        if interp is None:
+            return conv1d_nlc_gemm
         from ..ops.conv_pallas import conv1d_nlc_pallas
-
-        # interpret=True off-TPU so CPU tests exercise the same code path
-        interp = _jax.default_backend() != "tpu"
 
         def dispatch(x, w, b=None, *, dilation=1, compute_dtype=None):
             if 96 <= w.shape[1] <= 384:
@@ -246,12 +253,11 @@ def _amp_block_nlc(p, cfg, x, dilations, impl, cdt, conv_fn):
     # already wins (96-384) — x is read once per pair instead of the
     # activation costing its own HBM round trip plus XLA's materialized
     # FIR tap intermediates
+    interp = _pallas_mode()
     fuse = (impl == "fused_conv" and cfg.use_anti_aliasing
-            and 96 <= x.shape[-1] <= 384)
+            and 96 <= x.shape[-1] <= 384 and interp is not None)
     if fuse:
-        import jax as _jax
         from ..ops.act_conv_pallas import aa_snake_conv1d
-        interp = _jax.default_backend() != "tpu"
         beta = cfg.activation == "snakebeta"
 
         def pair(v, act, conv, dil):

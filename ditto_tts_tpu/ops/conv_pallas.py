@@ -38,6 +38,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Test hook: force the Pallas kernel dispatches in interpret mode on
+# non-TPU backends. Production behavior off-TPU is the plain XLA path
+# (interpret mode is orders of magnitude slower and exists only to pin
+# kernel math in CPU tests).
+FORCE_INTERPRET = False
+
+
+def pallas_mode():
+    """None = don't dispatch pallas on this backend; else the interpret
+    flag to pass to the kernels."""
+    if jax.default_backend() == "tpu":
+        return False
+    return True if FORCE_INTERPRET else None
+
+
 def _kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, acc_ref, *,
             k: int, dil: int, bt: int, halo: int):
     x = jnp.concatenate([xa_ref[0], xb_ref[0][:halo]], axis=0)

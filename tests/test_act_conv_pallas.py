@@ -85,7 +85,11 @@ def test_fused_act_conv_bf16_carry():
                                want[:, m:-m], rtol=6e-2, atol=6e-2)
 
 
-def test_vocoder_fused_conv_aa_matches_polyphase():
+def test_vocoder_fused_conv_aa_matches_polyphase(monkeypatch):
+    # off-TPU the dispatchers skip pallas entirely; force the
+    # interpret-mode dispatch so this test pins the kernel path
+    from ditto_tts_tpu.ops import conv_pallas as cp
+    monkeypatch.setattr(cp, 'FORCE_INTERPRET', True)
     """Full BigVGAN forward with aa_impl='fused_conv' vs the unfused
     polyphase path, fp32 — exact except activation edge semantics within
     a few samples of the sequence ends inside fused amp blocks."""

@@ -56,7 +56,11 @@ def test_oc_blocking_and_multi_time_blocks():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_vocoder_pallas_conv_impl_matches_gemm():
+def test_vocoder_pallas_conv_impl_matches_gemm(monkeypatch):
+    # off-TPU the dispatchers skip pallas entirely; force the
+    # interpret-mode dispatch so this test pins the kernel path
+    from ditto_tts_tpu.ops import conv_pallas as cp
+    monkeypatch.setattr(cp, 'FORCE_INTERPRET', True)
     """Full BigVGAN forward with conv_impl='pallas' (interpret off-TPU)
     vs the gemm lowering, fp32 so both are exact."""
     from ditto_tts_tpu.core.config import VocoderConfig
@@ -118,7 +122,11 @@ def test_ncl_variant_bf16():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
-def test_codec_pallas_conv_impl_matches_xla():
+def test_codec_pallas_conv_impl_matches_xla(monkeypatch):
+    # off-TPU the dispatchers skip pallas entirely; force the
+    # interpret-mode dispatch so this test pins the kernel path
+    from ditto_tts_tpu.ops import conv_pallas as cp
+    monkeypatch.setattr(cp, 'FORCE_INTERPRET', True)
     """SEANet encode/decode with conv_impl='pallas' vs the lax path."""
     from ditto_tts_tpu.codec import encodec as codec_mod
     from ditto_tts_tpu.core.config import CodecConfig
