@@ -253,22 +253,15 @@ def dit_block(params, cfg: DiTConfig, x, text_emb, rope_cs, *,
     # ===== gated MLP =====
     residual = x
     xn = layer_norm(params["norm3"], x)
-    if "mlp_fc1_gate" in params:
-        # prepared blocks fuse the fc1/gate projections into one GEMM
-        ug = dense(params["mlp_fc1_gate"], xn)
-        up, gate = jnp.split(ug, 2, axis=-1)
-        up = jax.nn.gelu(up, approximate=False)
-        gate = jax.nn.sigmoid(gate)
-    else:
-        up = jax.nn.gelu(dense(params["mlp_fc1"], xn), approximate=False)
-        gate = jax.nn.sigmoid(dense(params["gate"], xn))
+    up = jax.nn.gelu(dense(params["mlp_fc1"], xn), approximate=False)
+    gate = jax.nn.sigmoid(dense(params["gate"], xn))
     x = dense(params["mlp_fc2"], up * gate) + residual
     return x
 
 
 def prepare_blocks(params, cfg: DiTConfig):
-    """Stack the block params for the scanned forward, cast to the
-    compute dtype, and fuse the fc1/gate projections into one GEMM.
+    """Stack the block params for the scanned forward and cast to the
+    compute dtype.
 
     Call this ONCE per jitted region (outside any diffusion-step scan)
     and pass the result to ``ditto_forward(prepared_blocks=...)``: done

@@ -147,6 +147,24 @@ def aa_snake_conv1d(x, alpha, beta, weight, bias=None, *, dilation: int = 1,
     has_beta = beta is not None
 
     halo = -(-(2 * (ca + _AH)) // 16) * 16
+    if -(-t // 16) * 16 < halo:
+        # sequence too short for the two-block halo scheme — run the
+        # unfused oracle path (polyphase activation + gemm tap-sum conv),
+        # which handles any length
+        from ..nn.conv import conv1d_nlc_gemm
+        from .snake import polyphase_anti_aliased_activation, snake, \
+            snake_beta
+
+        def fn(v):
+            if has_beta:
+                return snake_beta(v, alpha, beta, logscale=logscale,
+                                  channel_axis=-1)
+            return snake(v, alpha, logscale=logscale, channel_axis=-1)
+
+        z = polyphase_anti_aliased_activation(x, fn, time_axis=1)
+        z = jnp.pad(z, ((0, 0), (ca, ca), (0, 0)))
+        return conv1d_nlc_gemm(z, weight, bias, dilation=dilation,
+                               compute_dtype=compute_dtype)
     isz = jnp.dtype(cdt).itemsize
     if block_t <= 0:
         # x blocks (2 copies, 2 buffers) + ~6 phase/act temps (carry

@@ -105,13 +105,19 @@ def conv1d_nlc_pallas(x, weight, bias=None, *, dilation: int = 1,
     no = o // ocb
 
     halo = (k - 1) * dilation
+    halo_a = max(-(-halo // 16) * 16, 16)
+    if -(-t_out // 16) * 16 < halo_a:
+        # too short for the two-block halo scheme (xb supplies at most one
+        # block); the gemm tap-sum handles any length
+        from ..nn.conv import conv1d_nlc_gemm
+        return conv1d_nlc_gemm(x, weight, bias, dilation=dilation,
+                               compute_dtype=None)
     if block_t <= 0:
         # VMEM-aware: x blocks 2 copies x 2 pipeline buffers (bf16) +
         # fp32 scratch + one live tap temp + out block, ~5 MB budget
         denom = 8 * c_in + 12 * ocb
         block_t = min(max((5_000_000 // denom) // 256 * 256, 256), 4096)
     bt = min(block_t, -(-t_out // 16) * 16)
-    halo_a = max(-(-halo // 16) * 16, 16)
     assert halo_a <= bt, (halo_a, bt)   # xb supplies at most one block
     nt = -(-t_out // bt)
 
@@ -188,6 +194,11 @@ def conv1d_ncl_pallas(x, weight, bias=None, *, dilation: int = 1,
 
     halo = (k - 1) * dilation
     halo_a = max(-(-halo // 128) * 128, 128)
+    if -(-t_out // 128) * 128 < halo_a:
+        # too short for the two-block halo scheme; lax.conv handles any T
+        from ..nn.conv import conv1d
+        return conv1d(x, weight, bias, dilation=dilation,
+                      compute_dtype=None)
     if block_t <= 0:
         # lanes are time; per-lane-column VMEM: x 2 copies x 2 buffers +
         # concat copy (operand dtype!) + fp32 scratch/tap temp + out.

@@ -114,3 +114,20 @@ def test_vocoder_fused_conv_aa_matches_polyphase(monkeypatch):
     np.testing.assert_allclose(got[..., 64:-64], want[..., 64:-64],
                                rtol=5e-4, atol=5e-4)
     np.testing.assert_allclose(got, want, rtol=0.5, atol=0.25)
+
+
+def test_short_sequence_falls_back_to_oracle():
+    """T below the fused kernel's halo requirement routes to the unfused
+    oracle path (exact match, any length)."""
+    rng = np.random.default_rng(30)
+    b, t, c, k, dil = 1, 48, 8, 11, 5
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    alpha = jnp.asarray(0.3 * rng.standard_normal(c), jnp.float32)
+    beta = jnp.asarray(0.3 * rng.standard_normal(c), jnp.float32)
+    w = jnp.asarray(0.2 * rng.standard_normal((c, c, k)), jnp.float32)
+    bv = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    want = np.asarray(_oracle(x, alpha, beta, w, bv, dil))
+    got = np.asarray(aa_snake_conv1d(x, alpha, beta, w, bv, dilation=dil,
+                                     interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

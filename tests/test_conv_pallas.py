@@ -147,3 +147,29 @@ def test_codec_pallas_conv_impl_matches_xla(monkeypatch):
     got = codec_mod.codec_decode(params, cfg, got_lat, output_length=512)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_short_sequence_falls_back_nlc():
+    """T below the halo requirement must not assert — the kernel entry
+    falls back to the gemm tap-sum (ADVICE r4: a sub-second mel at
+    k=11/dil=5 hit the halo assertion through the width-only dispatch)."""
+    rng = np.random.default_rng(20)
+    # k=11, dil=5: halo_a = 64 > roundup(t_out=30-50... pick t small
+    got, want = _case(1, 40, 16, 16, 11, 3, rng)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_short_sequence_falls_back_ncl():
+    from ditto_tts_tpu.nn.conv import conv1d
+    from ditto_tts_tpu.ops.conv_pallas import conv1d_ncl_pallas
+
+    rng = np.random.default_rng(21)
+    # t_out = 90 < halo_a = 128 for k=11/dil=5 -> lax fallback
+    x = jnp.asarray(rng.standard_normal((1, 16, 140)), jnp.float32)
+    w = jnp.asarray(0.1 * rng.standard_normal((16, 16, 11)), jnp.float32)
+    bv = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    want = np.asarray(conv1d(x, w, bv, dilation=5))
+    got = np.asarray(conv1d_ncl_pallas(x, w, bv, dilation=5,
+                                       interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
