@@ -35,14 +35,15 @@ def _get_padding(k: int, d: int) -> int:
     return (k * d - d) // 2
 
 
-def _act(x, act_params, cfg: VocoderConfig, impl: str):
+def _act(x, act_params, cfg: VocoderConfig, impl: str, fast: bool = False):
     if cfg.activation == "snakebeta":
         def fn(v):
             return snake_beta(v, act_params["alpha"], act_params["beta"],
-                              logscale=cfg.snake_logscale)
+                              logscale=cfg.snake_logscale, fast=fast)
     else:
         def fn(v):
-            return snake(v, act_params["alpha"], logscale=cfg.snake_logscale)
+            return snake(v, act_params["alpha"],
+                         logscale=cfg.snake_logscale, fast=fast)
     if not cfg.use_anti_aliasing:
         return fn(x)
     if impl == "fused_pallas":
@@ -64,14 +65,14 @@ def _conv_same(p, x, *, dilation=1, cdt=None, conv_fn=None):
 
 
 def _amp_block(p, cfg: VocoderConfig, x, dilations, impl: str, cdt,
-               conv_fn=None):
+               conv_fn=None, fast: bool = False):
     """AMPBlock1: [act, dilated conv, act, conv] x len(dilations), residual."""
     n = len(p["convs1"])
     for i in range(n):
-        xt = _act(x, p["act1"][i], cfg, impl)
+        xt = _act(x, p["act1"][i], cfg, impl, fast=fast)
         xt = _conv_same(p["convs1"][i], xt, dilation=dilations[i], cdt=cdt,
                         conv_fn=conv_fn)
-        xt = _act(xt, p["act2"][i], cfg, impl)
+        xt = _act(xt, p["act2"][i], cfg, impl, fast=fast)
         xt = _conv_same(p["convs2"][i], xt, cdt=cdt, conv_fn=conv_fn)
         x = x + xt
     return x
@@ -158,18 +159,22 @@ def bigvgan_forward(params, cfg: VocoderConfig, mel, *,
 
 def _act_nlc(x, act_params, cfg: VocoderConfig, impl: str):
     """x: [B, T, C]."""
-    if impl == "fused_conv":
+    fast = impl == "fused_conv"
+    if fast:
         # standalone activations (act_post, widths outside the fused
-        # kernel's dispatch) fall back to the slice-form polyphase
+        # kernel's dispatch) fall back to the slice-form polyphase with
+        # the production fast sin^2 (the fused kernels use the same)
         impl = "polyphase"
     if cfg.activation == "snakebeta":
         def fn(v):
             return snake_beta(v, act_params["alpha"], act_params["beta"],
-                              logscale=cfg.snake_logscale, channel_axis=-1)
+                              logscale=cfg.snake_logscale, channel_axis=-1,
+                              fast=fast)
     else:
         def fn(v):
             return snake(v, act_params["alpha"],
-                         logscale=cfg.snake_logscale, channel_axis=-1)
+                         logscale=cfg.snake_logscale, channel_axis=-1,
+                         fast=fast)
     if not cfg.use_anti_aliasing:
         return fn(x)
     if impl == "fused_pallas":
@@ -282,6 +287,40 @@ def _amp_block_nlc(p, cfg, x, dilations, impl, cdt, conv_fn):
     return x
 
 
+def _amp_block_ncl(p, cfg, x, dilations, impl, cdt, conv_fn):
+    """Time-minor AMP block. ``impl="fused_ncl"`` routes each act->conv
+    pair through ONE Pallas kernel (ops/act_conv_pallas.py NCL twin) with
+    the residual folded into the second pair's epilogue.  Measured on
+    v5e (r5): the fused NCL kernel runs AT PARITY with the unfused path
+    (17.3 vs 15.2 ms per resblock at C=24) — the narrow stages are bound
+    by lane-axis FIR shifts either way, not by the activation's HBM
+    round trip — so the production default ("fused_conv") stays on the
+    unfused polyphase act + time-minor conv kernel here."""
+    interp = _pallas_mode()
+    fuse = (impl == "fused_ncl" and cfg.use_anti_aliasing
+            and interp is not None)
+    if not fuse:
+        fast = impl == "fused_conv"
+        if fast or impl == "fused_ncl":
+            impl = "polyphase"
+        return _amp_block(p, cfg, x, dilations, impl, cdt, conv_fn=conv_fn,
+                          fast=fast)
+    from ..ops.act_conv_pallas import aa_snake_conv1d_ncl
+    beta = cfg.activation == "snakebeta"
+
+    def pair(v, act, conv, dil, residual=None):
+        return aa_snake_conv1d_ncl(
+            v, act["alpha"], act.get("beta") if beta else None,
+            conv["weight"], conv.get("bias"), dilation=dil,
+            logscale=cfg.snake_logscale, compute_dtype=cdt,
+            interpret=interp, residual=residual)
+
+    for i in range(len(p["convs1"])):
+        xt = pair(x, p["act1"][i], p["convs1"][i], dilations[i])
+        x = pair(xt, p["act2"][i], p["convs2"][i], 1, residual=x)
+    return x
+
+
 def _bigvgan_forward_nlc(params, cfg: VocoderConfig, mel, impl: str):
     """Same math as the NCL body, carried [B, T, C] through the wide
     stages (one transpose in).  With conv_impl="pallas" the carry flips
@@ -326,13 +365,14 @@ def _bigvgan_forward_nlc(params, cfg: VocoderConfig, mel, impl: str):
                 y = y[..., trim:-trim]
             acc = None
             for j, rb in enumerate(params["resblocks"][i]):
-                out = _amp_block(rb, cfg, y,
-                                 cfg.resblock_dilation_sizes[j],
-                                 "polyphase", cdt, conv_fn=ncl_conv)
+                out = _amp_block_ncl(rb, cfg, y,
+                                     cfg.resblock_dilation_sizes[j],
+                                     impl, cdt, ncl_conv)
                 acc = out if acc is None else acc + out
         x = acc / num_kernels
     if layout == "ncl":
-        x = _act(x, params["act_post"], cfg, "polyphase")
+        x = _act(x, params["act_post"], cfg, "polyphase",
+                 fast=impl == "fused_conv")
         x = _conv_same(params["conv_post"], x, cdt=cdt, conv_fn=ncl_conv)
         return jnp.clip(x.astype(jnp.float32), -1.0, 1.0)  # already [B,1,T]
     x = _act_nlc(x, params["act_post"], cfg, impl)

@@ -39,6 +39,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from .fastmath import sin2
 from jax.experimental.pallas import tpu as pltpu
 
 from .resample import kaiser_sinc_filter1d
@@ -100,8 +101,9 @@ def _kernel(xa_ref, xb_ref, w_ref, b_ref, al_ref, be_ref, o_ref, acc_ref,
     o = phase(o_up, _AH - 5)
 
     def snake(v):
-        s = jnp.sin(a * v)
-        return v + inv_b * s * s
+        # pi-periodic fast sin^2 (ops/fastmath.py): Mosaic's full-range
+        # jnp.sin measured ~half this kernel's runtime on v5e
+        return v + inv_b * sin2(a * v)
 
     se = snake(e)
     so = snake(o)
@@ -215,3 +217,188 @@ def aa_snake_conv1d(x, alpha, beta, weight, bias=None, *, dilation: int = 1,
         interpret=interpret,
     )(xg, xg, w2, b_vec, al, be)
     return out[:, :t]
+
+
+# ---------------------------------------------------------------------------
+# time-minor (NCL) fused kernel for the narrow hybrid-carry stages
+# ---------------------------------------------------------------------------
+
+def _kernel_ncl(xa_ref, xb_ref, w_ref, b_ref, al_ref, be_ref, *rest,
+                k: int, dil: int, bt: int, ca: int, halo: int,
+                t_total: int, logscale: bool, has_beta: bool,
+                has_res: bool, compute_dtype):
+    if has_res:
+        res_ref, o_ref, zw_ref = rest
+    else:
+        o_ref, zw_ref = rest
+    n_act = bt + 2 * ca          # act cols t in [-ca, bt + ca) rel. block
+    n_ph = n_act + 6             # phase cols t' in [-3, n_act + 3)
+
+    t0 = pl.program_id(1) * bt
+
+    # window covers global x cols [t0 - ca - _AH, t0 + bt + ca + _AH);
+    # activation in fp32 (same Mosaic constraint as the NLC kernel).
+    # Time sits on LANES here, so the FIR taps are lane-offset slices
+    # (an in-kernel transpose to put time on sublanes measured 2x
+    # SLOWER end-to-end and OOMs scoped VMEM at C=48 — vector
+    # transposes of [bt, C] blocks are not cheap on this core).
+    xw = jnp.concatenate([xa_ref[0], xb_ref[0][:, :halo]],
+                         axis=1).astype(jnp.float32)        # [C, bt+halo]
+
+    a = al_ref[...].astype(jnp.float32)                     # [C, 1]
+    b = be_ref[...].astype(jnp.float32) if has_beta else a
+    if logscale:
+        a = jnp.exp(a)
+        b = jnp.exp(b)
+    inv_b = 1.0 / (b + _EPS)
+
+    e_up, o_up, z_e, z_o = _taps()
+
+    def phase(taps, base):
+        acc = taps[0] * xw[:, base:base + n_ph]
+        for m in range(1, 6):
+            acc = acc + taps[m] * xw[:, base + m:base + m + n_ph]
+        return acc
+
+    e = phase(e_up, _AH - 6)
+    o_ph = phase(o_up, _AH - 5)
+
+    def snake(v):
+        # pi-periodic fast sin^2 (ops/fastmath.py): Mosaic's full-range
+        # jnp.sin measured ~half this kernel's runtime on v5e
+        return v + inv_b * sin2(a * v)
+
+    se = snake(e)
+    so = snake(o_ph)
+
+    z = z_o[0] * so[:, 0:n_act] + z_e[0] * se[:, 1:1 + n_act]
+    for m in range(1, 6):
+        z = z + z_o[m] * so[:, m:m + n_act] \
+              + z_e[m] * se[:, m + 1:m + 1 + n_act]
+
+    g_col = t0 - ca + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    z = jnp.where((g_col >= 0) & (g_col < t_total), z, 0.0)
+
+    # windowed contraction: ONE [O, K*C] x [K*C, bt] MXU dot instead of K
+    # C-deep tap dots — at C=24/48 each tap pads its contraction to the
+    # 128-row tile, so folding the taps into the contraction axis raises
+    # MXU depth utilization ~K-fold for the same arithmetic.  The window
+    # is assembled through an fp32 VMEM scratch: a vector concatenate of
+    # lane-offset slices crashes Mosaic ("result/input offset mismatch on
+    # non-concat dimension"), while full-width stores at C-aligned
+    # sublane offsets lower fine (C is a multiple of the fp32 8-sublane
+    # tile for every BigVGAN width).
+    c = z.shape[0]
+    for m in range(k):
+        zw_ref[m * c:(m + 1) * c, :] = z[:, m * dil:m * dil + bt]
+    acc = b_ref[...] + jax.lax.dot_general(
+        w_ref[...], zw_ref[...].astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [O, bt]
+    if has_res:
+        acc = acc + res_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def aa_snake_conv1d_ncl(x, alpha, beta, weight, bias=None, *,
+                        dilation: int = 1, logscale: bool = True,
+                        compute_dtype=None, block_t: int = 0,
+                        interpret: bool = False, residual=None):
+    """Time-minor twin of ``aa_snake_conv1d``: x [B, C, T] -> [B, O, T].
+
+    For the narrow late BigVGAN stages (C=24/48) the hybrid carry is
+    [B, C, T] (time on lanes); this kernel fuses the anti-aliased Snake
+    activation (fp32, in VMEM) with the 'SAME' dilated conv and an
+    optional residual add (``residual``: [B, O, T], added to the conv
+    output before the store — the AMP block's ``x + conv2(act2(...))``
+    rides along for free instead of costing its own HBM pass).
+    weight: [O, C, K] torch layout.  Edge semantics match
+    ``aa_snake_conv1d`` (replicate-padded in-kernel activation, zeroed
+    outside [0, T)).
+    """
+    out_dtype = x.dtype
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
+
+    b_, c, t = x.shape
+    o, i, k = weight.shape
+    assert i == c, (i, c)
+    ca = (k * dilation - dilation) // 2
+    has_beta = beta is not None
+    has_res = residual is not None
+
+    halo = -(-(2 * (ca + _AH)) // 128) * 128
+    if -(-t // 128) * 128 < halo:
+        # too short for the two-block halo scheme — unfused oracle path
+        from ..nn.conv import conv1d
+        from .snake import polyphase_anti_aliased_activation, snake, \
+            snake_beta
+
+        def fn(v):
+            if has_beta:
+                return snake_beta(v, alpha, beta, logscale=logscale,
+                                  channel_axis=1)
+            return snake(v, alpha, logscale=logscale, channel_axis=1)
+
+        z = polyphase_anti_aliased_activation(x, fn)
+        z = jnp.pad(z, ((0, 0), (0, 0), (ca, ca)))
+        out = conv1d(z, weight, bias, dilation=dilation,
+                     compute_dtype=compute_dtype)
+        return out + residual if has_res else out
+
+    isz = jnp.dtype(cdt).itemsize
+    if block_t <= 0:
+        # x blocks (2 copies, 2 buffers, cdt) + ~7 fp32 act temps +
+        # windowed zw scratch (fp32, K*C rows) + fp32 acc + out
+        # (+ residual)
+        denom = (8 * c + (4 if has_res else 0) * o) * isz \
+            + 28 * c + 4 * k * c + 12 * o
+        block_t = min(max((6_500_000 // denom) // 128 * 128, 256), 8192)
+    bt = min(block_t, -(-t // 128) * 128)
+    assert halo <= bt, (halo, bt)
+    nt = -(-t // bt)
+
+    lpad = ca + _AH
+    need_r = nt * bt + halo + bt - (t + lpad)
+    left = jnp.repeat(x[:, :, :1], lpad, axis=2)
+    right = jnp.repeat(x[:, :, -1:], max(need_r, 0), axis=2)
+    xg = jnp.concatenate([left, x, right], axis=2)
+    if xg.dtype != cdt:
+        xg = xg.astype(cdt)
+
+    # [O, K*C] with column m*C + c matching zw's tap-major concat
+    w2 = jnp.transpose(weight, (0, 2, 1)).reshape(o, k * c).astype(cdt)
+    b_vec = (bias if bias is not None
+             else jnp.zeros((o,), jnp.float32)).astype(jnp.float32)
+    b_vec = b_vec.reshape(o, 1)
+    al = alpha.reshape(c, 1).astype(jnp.float32)
+    be = (beta if has_beta else alpha).reshape(c, 1).astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((1, c, bt), lambda b, ti: (b, 0, ti)),
+        pl.BlockSpec((1, c, bt), lambda b, ti: (b, 0, ti + 1)),
+        pl.BlockSpec((o, k * c), lambda b, ti: (0, 0)),
+        pl.BlockSpec((o, 1), lambda b, ti: (0, 0)),
+        pl.BlockSpec((c, 1), lambda b, ti: (0, 0)),
+        pl.BlockSpec((c, 1), lambda b, ti: (0, 0)),
+    ]
+    operands = [xg, xg, w2, b_vec, al, be]
+    if has_res:
+        rt = nt * bt
+        if rt > t:
+            residual = jnp.pad(residual, ((0, 0), (0, 0), (0, rt - t)))
+        in_specs.append(pl.BlockSpec((1, o, bt), lambda b, ti: (b, 0, ti)))
+        operands.append(residual)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_ncl, k=k, dil=dilation, bt=bt, ca=ca,
+                          halo=halo, t_total=t, logscale=logscale,
+                          has_beta=has_beta, has_res=has_res,
+                          compute_dtype=cdt),
+        grid=(b_, nt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, o, bt), lambda b, ti: (b, 0, ti)),
+        out_shape=jax.ShapeDtypeStruct((b_, o, nt * bt), out_dtype),
+        scratch_shapes=[pltpu.VMEM((k * c, bt), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+    return out[:, :, :t]

@@ -33,19 +33,29 @@ def _chan_shape(x, channel_axis: int):
     return tuple(-1 if i == axis else 1 for i in range(x.ndim))
 
 
-def snake(x, alpha, *, logscale: bool = True, channel_axis: int = 1):
+def _sin2(v, fast: bool):
+    """sin^2; ``fast`` uses the pi-periodic reduction (ops/fastmath.py,
+    ~1e-5 abs) — production vocoder path only, oracle paths stay exact."""
+    if fast:
+        from .fastmath import sin2
+        return sin2(v.astype(jnp.float32)).astype(v.dtype)
+    s = jnp.sin(v)
+    return s * s
+
+
+def snake(x, alpha, *, logscale: bool = True, channel_axis: int = 1,
+          fast: bool = False):
     """x with channels on ``channel_axis`` (default [B, C, T]); alpha: [C].
     Computes in x.dtype (exp/recip in fp32)."""
     shape = _chan_shape(x, channel_axis)
     a = jnp.exp(alpha) if logscale else alpha
     inv_a = (1.0 / (a + _EPS)).astype(x.dtype).reshape(shape)
     a = a.astype(x.dtype).reshape(shape)
-    s = jnp.sin(a * x)
-    return x + inv_a * s * s
+    return x + inv_a * _sin2(a * x, fast)
 
 
 def snake_beta(x, alpha, beta, *, logscale: bool = True,
-               channel_axis: int = 1):
+               channel_axis: int = 1, fast: bool = False):
     """x with channels on ``channel_axis`` (default [B, C, T]); alpha,
     beta: [C] (BigVGAN SnakeBeta).
 
@@ -59,8 +69,7 @@ def snake_beta(x, alpha, beta, *, logscale: bool = True,
         a, b = alpha, beta
     inv_b = (1.0 / (b + _EPS)).astype(x.dtype).reshape(shape)
     a = a.astype(x.dtype).reshape(shape)
-    s = jnp.sin(a * x)
-    return x + inv_b * s * s
+    return x + inv_b * _sin2(a * x, fast)
 
 
 def anti_aliased_activation(x, act_fn, *, up_ratio: int = 2,

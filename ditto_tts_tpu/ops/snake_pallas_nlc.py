@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from .fastmath import sin2
 from .snake_pallas import _phase_filters
 
 _P = 8          # halo rows per side (>= 7 needed)
@@ -62,8 +63,9 @@ def _kernel(x_ref, halo_ref, a_ref, b_ref, o_ref, *,
     o = phase(ho, _P - 1)
 
     def snake(v):
-        s = jnp.sin(a * v)
-        return v + inv_b * s * s
+        # pi-periodic fast sin^2 (ops/fastmath.py): Mosaic's full-range
+        # jnp.sin measured ~half this kernel's runtime on v5e
+        return v + inv_b * sin2(a * v)
 
     se = snake(e)
     so = snake(o)

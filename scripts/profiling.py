@@ -241,6 +241,60 @@ def cmd_nlc_breakdown(args):
         run(f"stages[0:{k}]", sub, jax.device_put(subp))
 
 
+def cmd_prefix(args):
+    """Stage-prefix breakdown of the PRODUCTION vocoder path (default
+    VocoderConfig: conv_impl=pallas, aa_impl=fused_conv, hybrid layout).
+    Telescoped [0:k] prefixes attribute per-stage milliseconds; compare
+    against VOCODER_ROOFLINE per_stage_ms to find the slack."""
+    from ditto_tts_tpu.models import vocoder as voc
+
+    cfg = VocoderConfig()
+    if os.environ.get("AA_IMPL"):
+        cfg = cfg.replace(aa_impl=os.environ["AA_IMPL"])
+    if os.environ.get("CONV_IMPL"):
+        cfg = cfg.replace(conv_impl=os.environ["CONV_IMPL"])
+    params = jax.device_put(_params(voc.init_bigvgan, jax.random.key(0), cfg))
+    frames = 24_000 * SECONDS // cfg.hop_size
+    mel = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((BATCH, cfg.num_mels, frames)),
+                      jnp.float32)
+
+    null = jax.jit(lambda x: jnp.sum(x[-4:]))
+    zv = jnp.zeros((8,), jnp.float32)
+    float(null(zv))
+    disp = min(_min_time(lambda: float(null(zv))) for _ in range(5))
+    print(f"dispatch {disp*1e3:.1f} ms", flush=True)
+
+    def run(name, c, p):
+        fn = jax.jit(lambda p, m: jnp.sum(
+            voc.bigvgan_forward(p, c, m)[..., -8:]))
+        t0 = time.perf_counter()
+        float(fn(p, mel))
+        print(f"{name:24s} compile+first {time.perf_counter()-t0:6.1f} s",
+              flush=True)
+        best = min(_min_time(lambda: float(fn(p, mel))) for _ in range(REPS))
+        ms = (best - disp) * 1e3
+        print(f"{name:24s} {ms:9.2f} ms", flush=True)
+        return ms
+
+    prev = 0.0
+    for k in range(1, len(cfg.upsample_rates) + 1):
+        sub = cfg.replace(upsample_rates=cfg.upsample_rates[:k],
+                          upsample_kernel_sizes=cfg.upsample_kernel_sizes[:k])
+        subp = dict(params)
+        subp["ups"] = params["ups"][:k]
+        subp["resblocks"] = params["resblocks"][:k]
+        ch = cfg.upsample_initial_channel // (2 ** k)
+        subp["act_post"] = {"alpha": jnp.zeros((ch,)),
+                            "beta": jnp.zeros((ch,))}
+        subp["conv_post"] = {"weight": 0.01 * jnp.ones((1, ch, 7))}
+        ms = run(f"stages[0:{k}]", sub, jax.device_put(subp))
+        print(f"  -> stage s{k-1} delta    {ms - prev:9.2f} ms", flush=True)
+        prev = ms
+    full = run("full", cfg, params)
+    print(f"  -> post (act+conv)      {full - prev:9.2f} ms", flush=True)
+
+
 def cmd_stage3(args):
     """Stage-3 breakdown: VQ argmin, codec decode, mel, BigVGAN."""
     from ditto_tts_tpu.codec import encodec as codec_mod
@@ -301,11 +355,12 @@ def main():
     sub.add_parser("stage3")
     sub.add_parser("layout")
     sub.add_parser("nlc-breakdown")
+    sub.add_parser("prefix")
     args = ap.parse_args()
     print("device:", jax.devices()[0])
     {"bigvgan": cmd_bigvgan, "vocoder-stages": cmd_vocoder_stages,
      "stage3": cmd_stage3, "layout": cmd_layout,
-     "nlc-breakdown": cmd_nlc_breakdown}[args.cmd](args)
+     "nlc-breakdown": cmd_nlc_breakdown, "prefix": cmd_prefix}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -32,8 +32,10 @@ def test_nlc_fused_matches_oracle_interior(shape):
     got = np.asarray(fused_snake_nlc(x, alpha, beta, interpret=True,
                                      block_t=256))
     assert got.shape == want.shape
+    # atol floor 3e-5: the kernel's pi-periodic fast sin^2
+    # (ops/fastmath.py) carries ~1e-5 absolute fp32 reduction noise
     np.testing.assert_allclose(got[:, 4:-4], want[:, 4:-4],
-                               rtol=1e-4, atol=1e-5)
+                               rtol=1e-4, atol=3e-5)
     np.testing.assert_allclose(got, want, rtol=0.3, atol=0.05)
 
 
