@@ -178,7 +178,7 @@ def _attach_captures(gen, caps: Dict) -> None:
 
     def enc_wrap(X, padding_mask_audio=None):
         out = enc_fwd(X, padding_mask_audio)
-        caps["enc_latents"] = out[0].detach().numpy()
+        caps["enc_latents"] = out[0].detach().numpy().copy()
         return out
 
     enc.forward = enc_wrap
@@ -187,8 +187,8 @@ def _attach_captures(gen, caps: Dict) -> None:
 
     def q_wrap(x_start, t, noise=None):
         out = q(x_start, t, noise)
-        caps["q_in"] = x_start.detach().numpy()
-        caps["q_out"] = out.detach().numpy()
+        caps["q_in"] = x_start.detach().numpy().copy()
+        caps["q_out"] = out.detach().numpy().copy()
         return out
 
     gen.ditto_model.q_sample = q_wrap
@@ -198,8 +198,8 @@ def _attach_captures(gen, caps: Dict) -> None:
 
     def vq_wrap(latents):
         idx = vq_fwd(latents)
-        caps["vq_in"] = latents.detach().numpy()
-        caps["vq_idx"] = idx.detach().numpy()
+        caps["vq_in"] = latents.detach().numpy().copy()
+        caps["vq_idx"] = idx.detach().numpy().copy()
         return idx
 
     vq.forward = vq_wrap
@@ -209,7 +209,7 @@ def _attach_captures(gen, caps: Dict) -> None:
 
     def dec_wrap(*a, **k):
         out = dec_decode(*a, **k)
-        caps["codec_wav"] = out[0].detach().numpy()
+        caps["codec_wav"] = out[0].detach().numpy().copy()
         return out
 
     dec.decode = dec_wrap
@@ -217,9 +217,9 @@ def _attach_captures(gen, caps: Dict) -> None:
     voc_fwd = gen.vocoder.forward
 
     def voc_wrap(mel):
-        caps["mel"] = mel.detach().numpy()
+        caps["mel"] = mel.detach().numpy().copy()
         out = voc_fwd(mel)
-        caps["wav"] = out.detach().numpy()
+        caps["wav"] = out.detach().numpy().copy()
         return out
 
     gen.vocoder.forward = voc_wrap

@@ -233,7 +233,7 @@ def main():
                     help="directory persisting the trained reference DiTTO "
                          "state across runs (the 19-minute torch training "
                          "from round 3 becomes a once-ever cost)")
-    ap.add_argument("--out", default="PARITY_r04.json")
+    ap.add_argument("--out", default="PARITY_r05.json")
     args = ap.parse_args()
 
     if args.small:
@@ -265,6 +265,21 @@ def main():
     report = {
         "north_star": "allclose waveforms + bit-matched mel vs the actual "
                       "reference (/root/reference/src) with recorded noise",
+        "r04_downstream_subleg_root_cause": (
+            "PARITY_r04's prompt_conditioned_10s.downstream_from_reference_"
+            "latents reported allclose=false while every index agreed — "
+            "self-contradictory, since the downstream decode is a pure "
+            "function of the indices. scripts/parity_debug.py reran the "
+            "leg with elementwise diffing (PARITY_DEBUG.json): the "
+            "retrained reference reproduces r04's refined-latent stats to "
+            "all printed digits, every index set (main jit / downstream "
+            "jit / torch capture) is identical, and the downstream "
+            "waveform bit-matches the main chain (max 1.5e-7). The r04 "
+            "value is NOT reproducible from the data; the only mechanism "
+            "not excluded retroactively is capture aliasing — the torch "
+            "hooks stored .numpy() VIEWS of live torch storage, read "
+            "after session teardown. The hooks now deep-copy at capture "
+            "time (reference_harness.py), closing that class."),
         "tamed_weights": {
             "prompt_conditioned": run_parity(
                 cond_by_audio=True, ditto_train=ditto_train,
