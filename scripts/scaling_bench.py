@@ -5,8 +5,12 @@ with a fixed per-device batch and reports audio-seconds/s/chip and scaling
 efficiency vs the 1-device run. On a real pod slice this measures ICI
 gradient all-reduce overhead; for CI it runs on the virtual CPU mesh:
 
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python scripts/scaling_bench.py --devices 1 2 4 8 --tiny
+  DITTO_VIRTUAL_DEVICES=8 python scripts/scaling_bench.py \
+      --devices 1 2 4 8 --tiny
+
+(Shell-level JAX_PLATFORMS=cpu does NOT work in this image — the axon
+sitecustomize forces the TPU backend; like tests/conftest.py the switch
+must happen via jax.config before first backend use.)
 
 Prints one JSON line per mesh size.
 """
@@ -23,6 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+if os.environ.get("DITTO_VIRTUAL_DEVICES"):
+    _n = os.environ["DITTO_VIRTUAL_DEVICES"]
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               f" --xla_force_host_platform_device_count={_n}"
+                               ).strip()
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -45,6 +56,9 @@ def main():
     p.add_argument("--tiny", action="store_true",
                    help="tiny model/audio for CPU-mesh CI runs")
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--json-out", default=None,
+                   help="write a SCALING artifact (measured virtual-mesh "
+                        "rows + analytic ICI model for real hardware)")
     args = p.parse_args()
 
     if args.tiny:
@@ -79,6 +93,7 @@ def main():
     init_state, step_fn, _ = steps_mod.build_ditto_train_step(
         dit_cfg, codec_cfg, gpt2_cfg)
 
+    rows = []
     base_tput = None
     for n in args.devices:
         if n > jax.device_count():
@@ -118,13 +133,83 @@ def main():
         tput_per_chip = batch_size * seconds / best / n
         if base_tput is None:
             base_tput = tput_per_chip
-        print(json.dumps({
+        row = {
             "devices": n,
             "global_batch": batch_size,
             "step_seconds": round(best, 4),
             "audio_seconds_per_s_per_chip": round(tput_per_chip, 3),
             "weak_scaling_efficiency": round(tput_per_chip / base_tput, 4),
-        }))
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+    if args.json_out:
+        # Analytic model for REAL-hardware data-parallel weak scaling:
+        # the only per-step collective is the gradient all-reduce over the
+        # DiT trainable params (train/steps.py pmean of grads; frozen
+        # codec/gpt2 never sync).  A ring all-reduce on one torus axis
+        # moves 2*(n-1)/n * grad_bytes per chip over that axis's ICI
+        # links; with the reference measured step time it bounds the
+        # efficiency loss — and since XLA overlaps the gradient
+        # all-reduce with the remaining backward pass, the unoverlapped
+        # bound is pessimistic.
+        full_dit = DiTConfig(num_layers=12, num_heads=12, scan_blocks=True,
+                             compute_dtype="bfloat16")
+        grad_leaves = jax.eval_shape(
+            lambda k: dit_mod.init_ditto(k, full_dit),
+            jax.random.key(0))
+        grad_bytes = sum(int(np.prod(l.shape)) * 4
+                         for l in jax.tree_util.tree_leaves(grad_leaves))
+        # v5e: 4 ICI links/chip on a 2D torus; one ring axis sustains
+        # ~4.5e10 B/s per direction (public "How to Scale Your Model"
+        # v5e one-way link bandwidth); bidirectional ring halves the
+        # per-direction traffic.
+        ici_axis_bytes_per_s = 2 * 4.5e10
+        step_s_real = 0.292        # TRAIN_BENCH (real chip, B=8, S=750)
+        analytic = []
+        for n in (2, 4, 8, 16, 64, 256):
+            ar_bytes = 2.0 * (n - 1) / n * grad_bytes
+            comms_s = ar_bytes / ici_axis_bytes_per_s
+            eff_no_overlap = step_s_real / (step_s_real + comms_s)
+            analytic.append({
+                "devices": n,
+                "allreduce_bytes_per_chip": int(ar_bytes),
+                "comms_seconds": round(comms_s, 5),
+                "efficiency_lower_bound": round(eff_no_overlap, 4),
+            })
+        artifact = {
+            "measured": {
+                "note": "virtual CPU mesh (xla_force_host_platform_"
+                        "device_count) — measures GSPMD partitioning "
+                        "correctness + host-collective overhead, NOT ICI",
+                "config": "tiny" if args.tiny else "full",
+                "rows": rows,
+            },
+            "analytic_real_hardware": {
+                "model": "data-parallel ring all-reduce of DiT grads on "
+                         "one v5e torus axis, unoverlapped (pessimistic: "
+                         "XLA overlaps the all-reduce with backward)",
+                "dit_grad_bytes_fp32": grad_bytes,
+                "ici_axis_bytes_per_s": ici_axis_bytes_per_s,
+                "step_seconds_real_chip": step_s_real,
+                "rows": analytic,
+                "conclusion": "grad all-reduce tops out at {:.1f} ms vs a "
+                              "{:.0f} ms step => >={:.0%} weak-scaling "
+                              "efficiency expected on real ICI even with "
+                              "ZERO compute/comms overlap (XLA overlaps "
+                              "the all-reduce with backward, so the real "
+                              "figure approaches 100%); the virtual-mesh "
+                              "rows above validate the sharded program "
+                              "itself, not ICI".format(
+                                  2.0 * grad_bytes / ici_axis_bytes_per_s
+                                  * 1e3, step_s_real * 1e3,
+                                  step_s_real / (step_s_real +
+                                  2.0 * grad_bytes / ici_axis_bytes_per_s)),
+            },
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"# wrote {args.json_out}")
 
 
 if __name__ == "__main__":
