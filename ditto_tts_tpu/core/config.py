@@ -140,6 +140,11 @@ class DiTConfig(_JsonMixin):
     compute_dtype: str = "float32"
     # rematerialize each block in the backward pass (training memory)
     remat_blocks: bool = False
+    # jax.checkpoint policy when remat_blocks: "nothing_saveable"
+    # (recompute everything) | "dots_with_no_batch_dims_saveable" (save
+    # weight-matmul outputs, recompute elementwise/attention internals —
+    # the usual throughput/memory middle ground)
+    remat_policy: str = "dots_with_no_batch_dims_saveable"
     # diffusion target parameterization: "eps" (reference; TrainDiTTO.py
     # predicts the noise) | "v" (Salimans & Ho 2022) | "x0". eps-prediction
     # gives conditioning (text) a vanishing gradient at high t (the target

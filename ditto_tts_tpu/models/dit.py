@@ -312,7 +312,7 @@ def ditto_forward(params, cfg: DiTConfig, x, text_emb, t, *,
     if cfg.remat_blocks:
         block_fn = jax.checkpoint(
             dit_block, static_argnums=(1,),
-            policy=jax.checkpoint_policies.nothing_saveable)
+            policy=getattr(jax.checkpoint_policies, cfg.remat_policy))
 
     if prepared_blocks is not None or (cfg.scan_blocks
                                        and cfg.num_layers > 1):

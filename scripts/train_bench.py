@@ -39,13 +39,12 @@ def _numpy_params(init_fn, key, cfg):
     return np_params(init_fn, key, cfg)
 
 
-def time_train_step(cfg, gpt2_cfg, batch_size, seconds, steps_timed):
-    """One leg: build step, compile, time with scalar readback."""
+def _setup(cfg, gpt2_cfg, batch_size, seconds):
     from ditto_tts_tpu.codec import encodec as codec_mod
     from ditto_tts_tpu.models import dit as dit_mod
     from ditto_tts_tpu.models import nac as nac_mod
-    from ditto_tts_tpu.text import gpt2 as gpt2_mod
     from ditto_tts_tpu.train import steps as steps_mod
+    from ditto_tts_tpu.text import gpt2 as gpt2_mod
 
     key = jax.random.key(0)
     frozen = {
@@ -71,7 +70,13 @@ def time_train_step(cfg, gpt2_cfg, batch_size, seconds, steps_timed):
             0, gpt2_cfg.vocab_size, (batch_size, 1024)).astype(np.int32)),
     }
     batch = jax.device_put(batch, dev)
+    return state, frozen, batch, step_fn
 
+
+def time_train_step(cfg, gpt2_cfg, batch_size, seconds, steps_timed):
+    """One leg: build step, compile, time with scalar readback."""
+    state, frozen, batch, step_fn = _setup(cfg, gpt2_cfg, batch_size,
+                                           seconds)
     step = jax.jit(step_fn, donate_argnums=(0,))
     t0 = time.time()
     state, m = step(state, frozen, batch, jax.random.key(1))
@@ -103,6 +108,89 @@ def time_train_step(cfg, gpt2_cfg, batch_size, seconds, steps_timed):
         "mfu": round(train_flops / step_s / (PEAK_TFLOPS * 1e12), 4),
         "audio_s_per_s": round(batch_size * seconds / step_s, 1),
     }
+
+
+def breakdown_train_step(cfg, gpt2_cfg, batch_size, seconds, steps_timed):
+    """Per-stage attribution of the step: frozen encode / DiT fwd /
+    fwd+bwd / optimizer, each as its own jit with a readback fence
+    (VERDICT r4 task 2: where do the other ~3x of the 0.105-MFU step go?)
+    """
+    from ditto_tts_tpu.train import steps as steps_mod
+    from ditto_tts_tpu.models import dit as dit_mod
+    from ditto_tts_tpu.diffusion.schedule import NoiseSchedule, q_sample
+
+    state, frozen, batch, step_fn = _setup(cfg, gpt2_cfg, batch_size,
+                                           seconds)
+    init_state, _, _ = steps_mod.build_ditto_train_step(
+        cfg.dit, cfg.codec, gpt2_cfg, learning_rate=1e-4)
+    tx = steps_mod.make_adamw(1e-4)
+    schedule = NoiseSchedule.cosine(cfg.dit.diffusion_steps)
+
+    def encode(frozen, batch):
+        from ditto_tts_tpu.models import nac as nac_mod
+        from ditto_tts_tpu.text import gpt2 as gpt2_mod
+        latents, _ = nac_mod.audio_encoder(
+            {"embedding_head": frozen["embedding_head"]},
+            frozen["codec"], cfg.codec, batch["audio"],
+            batch.get("padding_mask"))
+        latents = latents[:, :, :gpt2_cfg.n_positions]
+        latents = jnp.mean(latents, axis=1)
+        text_emb = gpt2_mod.embed_tokens(
+            frozen["gpt2"], batch["text_ids"][:, :latents.shape[1]])
+        return latents, text_emb
+
+    def loss_of(dit_params, latents, text_emb, key):
+        b = latents.shape[0]
+        k_t, k_n, k_d = jax.random.split(key, 3)
+        t = jax.random.randint(k_t, (b,), 0, cfg.dit.diffusion_steps)
+        noise = jax.random.normal(k_n, latents.shape, latents.dtype)
+        noisy = q_sample(schedule, latents, t, noise,
+                         ref_compat=cfg.dit.ref_compat)
+        pred = dit_mod.ditto_forward(dit_params, cfg.dit, noisy, text_emb,
+                                     t, dropout_key=k_d)
+        return jnp.mean(jnp.square(pred - noise))
+
+    def timed(name, fn, *args, reps=steps_timed):
+        t0 = time.time()
+        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(jnp.ravel(leaf)[-4:]).astype(jnp.float32))
+        compile_s = time.time() - t0
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn(*args)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            float(jnp.sum(jnp.ravel(leaf)[-4:]).astype(jnp.float32))
+            best = min(best, time.time() - t0)
+        print(f"#   {name:22s} {best*1e3:8.1f} ms (compile {compile_s:.0f}s)",
+              file=sys.stderr, flush=True)
+        return best, out
+
+    stages = {}
+    enc_j = jax.jit(encode)
+    stages["encode"], (latents, text_emb) = timed("encode", enc_j, frozen,
+                                                  batch)
+    fwd_j = jax.jit(loss_of)
+    stages["dit_fwd"], _ = timed(
+        "dit_fwd", fwd_j, state["params"], latents, text_emb,
+        jax.random.key(3))
+    vg_j = jax.jit(jax.value_and_grad(loss_of))
+    stages["dit_fwd_bwd"], (_, grads) = timed(
+        "dit_fwd_bwd", vg_j, state["params"], latents, text_emb,
+        jax.random.key(3))
+
+    import optax
+
+    def opt(opt_state, params, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    opt_j = jax.jit(opt)
+    stages["optimizer"], _ = timed("optimizer", opt_j, state["opt_state"],
+                                   state["params"], grads)
+    stages["bwd_minus_fwd"] = stages["dit_fwd_bwd"] - stages["dit_fwd"]
+    return {k: round(v * 1e3, 1) for k, v in stages.items()}
 
 
 def loader_throughput(corpus, batch_size, n_batches=40):
@@ -151,37 +239,67 @@ def main():
     from ditto_tts_tpu.core.config import DiTConfig, PipelineConfig
     from ditto_tts_tpu.text import gpt2 as gpt2_mod
 
-    # remat_blocks: recompute each scanned block in backward — without it
-    # the step stores all 12 layers' [B, H, S, S] attention scores and
-    # B=8/S=750 blows the 16 GB HBM (2x 2.5 GB fp32 + 2x 1.2 GB bf16)
-    cfg = PipelineConfig(dit=DiTConfig(num_layers=12, num_heads=12,
-                                       scan_blocks=True, remat_blocks=True,
-                                       compute_dtype="bfloat16"))
+    def dit_cfg(**kw):
+        base = dict(num_layers=12, num_heads=12, scan_blocks=True,
+                    remat_blocks=True, compute_dtype="bfloat16")
+        base.update(kw)
+        return PipelineConfig(dit=DiTConfig(**base))
+
+    # remat policy matrix (VERDICT r4 task 2): nothing_saveable recomputes
+    # the whole block in backward; dots_with_no_batch_dims saves weight-
+    # matmul outputs; no_remat stores all residuals ([B, H, S, S] scores
+    # included — may OOM at B=8/S=1024)
+    variants = {
+        "remat_dots": dit_cfg(
+            remat_policy="dots_with_no_batch_dims_saveable"),
+        "remat_nothing": dit_cfg(remat_policy="nothing_saveable"),
+        "no_remat": dit_cfg(remat_blocks=False),
+        "remat_dots_no_dropout": dit_cfg(
+            remat_policy="dots_with_no_batch_dims_saveable",
+            cross_attn_dropout=0.0),
+    }
     gpt2_cfg = gpt2_mod.GPT2Config()
 
     legs = {}
-    for seconds in (10, 14):        # S=750 and the 1024-truncation bucket
-        b = args.batch
-        while b >= 1:
-            try:
-                legs[f"{seconds}s"] = time_train_step(
-                    cfg, gpt2_cfg, b, seconds, args.steps_timed)
-                print(f"# {seconds}s leg: {legs[f'{seconds}s']}",
-                      file=sys.stderr)
-                break
-            except Exception as e:
-                oom = ("RESOURCE_EXHAUSTED" in str(e)
-                       or "Ran out of memory" in str(e))
-                if oom and b > 1:
-                    print(f"# B={b} OOM at {seconds}s; retrying B={b//2}",
-                          file=sys.stderr)
-                    b //= 2
-                else:
-                    raise
+    best_name, best = None, None
+    for name, cfg in variants.items():
+        for seconds in (10, 14):    # S=750 and the 1024-truncation bucket
+            b = args.batch
+            while b >= 1:
+                try:
+                    leg = time_train_step(cfg, gpt2_cfg, b, seconds,
+                                          args.steps_timed)
+                    legs[f"{name}_{seconds}s"] = leg
+                    print(f"# {name} {seconds}s leg: {leg}",
+                          file=sys.stderr, flush=True)
+                    if seconds == 10 and (best is None
+                                          or leg["step_seconds"]
+                                          < best["step_seconds"]):
+                        best_name, best = name, leg
+                    break
+                except Exception as e:
+                    oom = ("RESOURCE_EXHAUSTED" in str(e)
+                           or "Ran out of memory" in str(e))
+                    if oom and b > 1:
+                        print(f"# {name} B={b} OOM at {seconds}s; "
+                              f"retrying B={b//2}", file=sys.stderr)
+                        b //= 2
+                    elif oom:
+                        legs[f"{name}_{seconds}s"] = {"oom": True}
+                        break
+                    else:
+                        raise
+
+    print(f"# breakdown on fastest variant: {best_name}", file=sys.stderr,
+          flush=True)
+    bd = breakdown_train_step(variants[best_name], gpt2_cfg, args.batch,
+                              10, args.steps_timed)
 
     out = {"device": str(jax.devices()[0]),
            "model": "DiT-base 12L/12H/768, bf16 compute, AdamW",
-           "train_step_legs": legs}
+           "train_step_legs": legs,
+           "fastest_variant": best_name,
+           "stage_breakdown_ms": bd}
 
     if not args.skip_loader:
         if not os.path.isdir(args.corpus):
