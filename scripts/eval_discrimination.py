@@ -5,7 +5,7 @@ showing the harness executes, not that it measures. This script closes
 that gap with a closed-loop experiment on a tiny corpus (CPU, no
 pretrained assets needed):
 
-  1. Build a 4-utterance MLS-layout corpus of distinct deterministic
+  1. Build a 32-utterance MLS-layout corpus of distinct deterministic
      chirps with distinct transcripts.
   2. Train a tiny corrected-mode DiTTO (hidden 64, 2L) on it with the
      REAL training step until it memorizes the latent trajectories.
@@ -19,7 +19,8 @@ pretrained assets needed):
      pipeline's own render of the ground-truth latents, since with
      random frozen codec/vocoder the raw waveform is unreachable by
      construction).
-  5. Write EVAL_r04.json: trained must beat random on mel-MAE and
+  5. Write EVAL_r05.json (2 sampling seeds, mean +- spread):
+     trained must beat random on mel-MAE and
      CER/WER with trained cer < 1.0, and on sim_o by a >0.02 cosine
      margin through the trained embedder.
 
@@ -27,7 +28,7 @@ Protocol matches Experiments.ipynb cells 10-15 (generate over <=5 loader
 batches -> ASR decode -> CER/WER + similarity), adapted to a sandbox with
 no trained frozen models. Run from the repo root:
 
-  python scripts/eval_discrimination.py [--train-steps 3000]
+  python scripts/eval_discrimination.py [--train-steps 6000]
 """
 
 import argparse
@@ -85,8 +86,25 @@ def smoke_gain(tree):
     from ditto_tts_tpu.utils.smoke import orthogonal_reinit
     return orthogonal_reinit(tree, seed=SEED)
 
-TEXTS = ["bonjour le monde", "quatre vingt dix neuf", "la mer est calme",
-         "un deux trois soleil"]
+def _make_texts(n: int) -> list:
+    """n distinct 3-word transcripts from a fixed word bank (every word's
+    characters exist in the S2T mini vocab)."""
+    bank = ["bonjour", "le", "monde", "quatre", "vingt", "dix", "neuf",
+            "la", "mer", "est", "calme", "un", "deux", "trois", "soleil"]
+    rng = np.random.default_rng(1234)
+    texts, seen = [], set()
+    while len(texts) < n:
+        words = tuple(rng.choice(len(bank), 3, replace=False))
+        if words in seen:
+            continue
+        seen.add(words)
+        texts.append(" ".join(bank[w] for w in words))
+    return texts
+
+
+# r4 verdict: n=4 is a smoke, not a measurement — the corpus is now 32
+# utterances (VERDICT r4 task 7) with distinct transcripts and f0s
+TEXTS = _make_texts(32)
 
 
 def build_corpus(root: str) -> None:
@@ -99,11 +117,11 @@ def build_corpus(root: str) -> None:
         path = os.path.join(root, "audio_clean", f"10{i:02d}", f"20{i:02d}",
                             f"{utt}.opus")
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        # IDENTICAL durations (an ASR memorizing 4 utterances could
+        # IDENTICAL durations (an ASR memorizing the corpus could
         # otherwise classify by length alone and "transcribe" garbage
         # audio correctly) and well-separated spectra
         sr, secs = 24000, 1.6
-        f0 = [300.0, 900.0, 1800.0, 3600.0][i]
+        f0 = float(np.geomspace(250.0, 5000.0, len(TEXTS))[i])
         t = np.arange(int(secs * sr)) / sr
         pcm = (0.3 * np.sin(2 * np.pi * f0 * t)
                + 0.2 * np.sin(2 * np.pi * 2.3 * f0 * t + i)
@@ -234,7 +252,7 @@ def _oracle_fbanks(corpus: str):
 
 
 def train_tiny_asr(corpus: str, steps: int, out_path: str):
-    """Train the tiny S2T to transcribe the 4 ORACLE RENDERS (the pipeline's
+    """Train the tiny S2T to transcribe the ORACLE RENDERS (the pipeline's
     own ground-truth-latent audio, which the oracle-ref protocol scores
     against). A random-init tiny transformer greedy-decodes to a constant
     sequence regardless of input, so an untrained ASR cannot discriminate;
@@ -312,10 +330,10 @@ def train_tiny_asr(corpus: str, steps: int, out_path: str):
 
 
 def train_tiny_ecapa(corpus: str, steps: int, out_path: str):
-    """Train the tiny ECAPA speaker embedder on the 4 ORACLE RENDERS so
+    """Train the tiny ECAPA speaker embedder on the ORACLE RENDERS so
     SIM-o/SIM-r measure something: each sandbox utterance is its own
     'speaker' (distinct f0), plus a pure-noise garbage class, trained as
-    5-way classification through the embedding. After training, faithful
+    (n+1)-way classification through the embedding. After training, faithful
     generations embed near their utterance's render (high cosine) while a
     random-DiT's garbage embeds near the noise class — the role the real
     frozen speechbrain ECAPA plays in the reference protocol
@@ -385,14 +403,15 @@ def train_tiny_ecapa(corpus: str, steps: int, out_path: str):
 
 def run_eval(corpus: str, cfg_path: str, out_path: str,
              ditto_ckpt: str = None, s2t_ckpt: str = None,
-             ecapa_ckpt: str = None) -> dict:
+             ecapa_ckpt: str = None, sample_seed: int = SEED) -> dict:
     import evaluate as eval_mod
 
     from ditto_tts_tpu import assets
 
     argv = ["evaluate.py", "--data-path", corpus, "--config", cfg_path,
-            "--out", out_path, "--max-batches", "1", "--batch-size", "4",
-            "--seed", str(SEED), "--oracle-ref", "--lenient-duration",
+            "--out", out_path, "--max-batches", "8", "--batch-size", "4",
+            "--seed", str(SEED), "--sample-seed", str(sample_seed),
+            "--oracle-ref", "--lenient-duration",
             "--s2t", s2t_ckpt or "random", "--s2t-tiny",
             "--s2t-vocab", assets.S2T_MINI_VOCAB,
             "--ecapa", ecapa_ckpt or "random", "--ecapa-tiny",
@@ -412,11 +431,14 @@ def run_eval(corpus: str, cfg_path: str, out_path: str,
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--train-steps", type=int, default=3000)
-    ap.add_argument("--asr-steps", type=int, default=1500)
-    ap.add_argument("--ecapa-steps", type=int, default=800)
-    ap.add_argument("--workdir", default="/tmp/eval_discrimination")
-    ap.add_argument("--out", default="EVAL_r04.json")
+    ap.add_argument("--train-steps", type=int, default=6000)
+    ap.add_argument("--asr-steps", type=int, default=3000)
+    ap.add_argument("--ecapa-steps", type=int, default=1600)
+    ap.add_argument("--seeds", default="0,1",
+                    help="comma-separated sampling seeds (frozen-model "
+                         "init stays fixed)")
+    ap.add_argument("--workdir", default="/tmp/eval_discrimination_r05")
+    ap.add_argument("--out", default="EVAL_r05.json")
     args = ap.parse_args()
 
     corpus = os.path.join(args.workdir, "mls")
@@ -442,25 +464,47 @@ def main():
     else:
         train_tiny_ecapa(corpus, args.ecapa_steps, ecapa_ckpt)
 
-    print("[eval] random-weights run", flush=True)
-    random_res = run_eval(corpus, cfg_path,
-                          os.path.join(args.workdir, "random.json"),
-                          s2t_ckpt=asr_ckpt, ecapa_ckpt=ecapa_ckpt)
-    print("[eval] trained-weights run", flush=True)
-    trained_res = run_eval(corpus, cfg_path,
-                           os.path.join(args.workdir, "trained.json"),
-                           ditto_ckpt=ckpt, s2t_ckpt=asr_ckpt,
-                           ecapa_ckpt=ecapa_ckpt)
+    seeds = [int(s) for s in args.seeds.split(",")]
+    metrics = ("mel_mae_mean", "cer", "wer", "sim_o", "sim_r")
+
+    def sweep(tag, **kw):
+        per_seed = {}
+        for s in seeds:
+            print(f"[eval] {tag} run, sample seed {s}", flush=True)
+            per_seed[s] = run_eval(
+                corpus, cfg_path,
+                os.path.join(args.workdir, f"{tag}_s{s}.json"),
+                s2t_ckpt=asr_ckpt, ecapa_ckpt=ecapa_ckpt,
+                sample_seed=1000 * s, **kw)
+        agg = {}
+        for m in metrics:
+            vals = [per_seed[s][m] for s in seeds if m in per_seed[s]]
+            if vals:
+                agg[m] = {"mean": float(np.mean(vals)),
+                          "std": float(np.std(vals)),
+                          "per_seed": [float(v) for v in vals]}
+        return per_seed, agg
+
+    random_per_seed, random_agg = sweep("random")
+    trained_per_seed, trained_agg = sweep("trained", ditto_ckpt=ckpt)
+    random_res = {m: random_agg[m]["mean"] for m in random_agg}
+    trained_res = {m: trained_agg[m]["mean"] for m in trained_agg}
 
     sim_o_margin = (trained_res.get("sim_o", 0.0)
                     - random_res.get("sim_o", 0.0))
     sim_r_margin = (trained_res.get("sim_r", 0.0)
                     - random_res.get("sim_r", 0.0))
+    # a margin "survives the spread" when it exceeds the combined
+    # seed-to-seed variation of both arms
+    def survives(m, margin):
+        spread = (random_agg.get(m, {}).get("std", 0.0)
+                  + trained_agg.get(m, {}).get("std", 0.0))
+        return bool(abs(margin) > spread)
     report = {
         "protocol": (
             "Closed-loop discrimination (Experiments.ipynb cells 10-15 "
             "protocol on a sandbox corpus): tiny corrected-mode DiTTO "
-            "trained to memorize 4 synthetic utterances, then "
+            "trained to memorize the synthetic corpus (n_utterances below), then "
             "scripts/evaluate.py scored random vs trained DiT with "
             "identical frozen models/seeds and oracle-ref scoring. The "
             "tiny ASR and the tiny ECAPA speaker embedder are TRAINED on "
@@ -469,14 +513,24 @@ def main():
             "frozen s2t-medium and speechbrain ECAPA play in the "
             "reference protocol)."),
         "train_steps": args.train_steps,
-        "random_weights": random_res,
-        "trained_weights": trained_res,
+        "n_utterances": len(TEXTS),
+        "sample_seeds": seeds,
+        "random_weights": random_agg,
+        "trained_weights": trained_agg,
         "margins": {
             "mel_mae": random_res["mel_mae_mean"]
             - trained_res["mel_mae_mean"],
             "cer": random_res.get("cer", 1.0) - trained_res.get("cer", 1.0),
             "sim_o": sim_o_margin,
             "sim_r": sim_r_margin,
+        },
+        "margin_survives_seed_spread": {
+            "mel_mae": survives("mel_mae_mean",
+                                random_res["mel_mae_mean"]
+                                - trained_res["mel_mae_mean"]),
+            "cer": survives("cer", random_res.get("cer", 1.0)
+                            - trained_res.get("cer", 1.0)),
+            "sim_o": survives("sim_o", sim_o_margin),
         },
         "discriminates": {
             "mel_mae": trained_res["mel_mae_mean"]

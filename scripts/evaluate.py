@@ -43,6 +43,10 @@ def main():
     p.add_argument("--steps", type=int, default=None,
                    help="sampler steps (default: config value)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sample-seed", type=int, default=None,
+                   help="sampling-noise seed (default: --seed). Lets "
+                        "seed-spread studies vary the sampler while the "
+                        "frozen-model init stays fixed")
     p.add_argument("--out", default="eval_results.json")
     p.add_argument("--encodec", default=None)
     p.add_argument("--gpt2", default=None)
@@ -258,10 +262,11 @@ def main():
                                        buckets=buckets, shuffle=False)):
         if bi >= args.max_batches:
             break
+        sseed = args.seed if args.sample_seed is None else args.sample_seed
         wav = fn(params, jnp.asarray(batch["audio"]),
                  jnp.asarray(batch["padding_mask"]),
                  jnp.asarray(batch["text_ids"]),
-                 jax.random.key(args.seed + bi))
+                 jax.random.key(sseed + bi))
         wav = np.asarray(wav)
         ref_wavs = None
         if oracle_fn is not None:
