@@ -203,8 +203,41 @@ def _cross_qkv(params, x, mem):
     return q, k, v
 
 
+def prepare_cross_kv(prepared_blocks, cfg: DiTConfig, text_emb):
+    """Precompute every layer's cross-attention K/V from ``text_emb``.
+
+    The text embedding is CONSTANT across the reverse-diffusion scan, so
+    projecting it inside each denoise step wastes 2 GEMMs x num_layers x
+    num_steps (~10% of the sampler's FLOPs at S=750).  Call ONCE per
+    sampler invocation (next to ``prepare_blocks``) and pass the result
+    to ``ditto_forward(cross_kv=...)``.
+
+    Returns ``(k, v)`` with shape [L, B, nh, St, hd] each.
+    """
+    nh = cfg.num_heads
+    h = cfg.hidden_dim
+    w = prepared_blocks["cross_attn"]["in_proj_weight"]   # [L, 3H, H]
+    b = prepared_blocks["cross_attn"]["in_proj_bias"]     # [L, 3H]
+    te = text_emb.astype(w.dtype)
+
+    def proj(lo, hi):
+        y = jax.lax.dot_general(
+            te, w[:, lo:hi],
+            dimension_numbers=(((2,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(te.dtype)                                # [B, St, L, H]
+        y = y + b[:, lo:hi]
+        lyr, bsz, st = y.shape[2], y.shape[0], y.shape[1]
+        y = y.transpose(2, 0, 1, 3)                       # [L, B, St, H]
+        y = y.reshape(lyr, bsz, st, nh, h // nh)
+        return y.transpose(0, 1, 3, 2, 4)                 # [L, B, nh, St, hd]
+
+    return proj(h, 2 * h), proj(2 * h, 3 * h)
+
+
 def dit_block(params, cfg: DiTConfig, x, text_emb, rope_cs, *,
-              dropout_key: Optional[jax.Array] = None):
+              dropout_key: Optional[jax.Array] = None,
+              cross_kv=None):
     """One DiT block (ref: DiT.py:100-157). rope_cs = (cos, sin) tables."""
     nh = cfg.num_heads
 
@@ -228,21 +261,42 @@ def dit_block(params, cfg: DiTConfig, x, text_emb, rope_cs, *,
     # ===== cross-attention to text =====
     residual = x
     xn = layer_norm(params["norm2"], x)
-    q, k, v = _cross_qkv(params["cross_attn"], xn, text_emb)
-    q = _split_heads(q, nh)
-    k = _split_heads(k, nh)
-    v = _split_heads(v, nh)
+    if cross_kv is not None:
+        # K/V precomputed once per sampler call (prepare_cross_kv) —
+        # only the Q projection depends on the denoising state
+        h_dim = xn.shape[-1]
+        w = params["cross_attn"]["in_proj_weight"]
+        bb = params["cross_attn"]["in_proj_bias"]
+        q = dense({"weight": w[:h_dim], "bias": bb[:h_dim]}, xn)
+        q = _split_heads(q, nh)
+        k, v = cross_kv
+    else:
+        q, k, v = _cross_qkv(params["cross_attn"], xn, text_emb)
+        q = _split_heads(q, nh)
+        k = _split_heads(k, nh)
+        v = _split_heads(v, nh)
     if dropout_key is not None and cfg.cross_attn_dropout > 0.0:
         # torch MHA drops attention probabilities; equivalent train-time
         # regularization applied on the jnp path (Pallas path is inference).
+        # The keep-mask comes from XLA's hardware RngBitGenerator, NOT
+        # jax.random.bernoulli: threefry over [B, H, S, St] x num_layers
+        # (recomputed again under remat) measured 116 ms of a 304 ms
+        # train step at B=8/S=750 (TRAIN_BENCH r5 dropout ablation).
+        # Any iid uniform stream is valid here — this is training
+        # regularization noise, not a parity surface.
         probs_dropout = cfg.cross_attn_dropout
         import math as _math
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / _math.sqrt(q.shape[-1])
         p = jax.nn.softmax(scores, axis=-1)
-        keep = jax.random.bernoulli(dropout_key, 1.0 - probs_dropout, p.shape)
-        p = jnp.where(keep, p / (1.0 - probs_dropout), 0.0)
+        kd = jax.random.key_data(dropout_key).reshape(-1).astype(jnp.uint32)
+        kd = jnp.concatenate([kd, kd])[:4]              # u32[4] RBG key
+        _, bits = jax.lax.rng_bit_generator(kd, p.shape, dtype=jnp.uint32)
+        thresh = jnp.uint32(min(int(probs_dropout * 2.0 ** 32),
+                                2 ** 32 - 1))
+        keep = bits >= thresh
+        p = jnp.where(keep, p * (1.0 / (1.0 - probs_dropout)), 0.0)
         cross = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                            preferred_element_type=jnp.float32).astype(x.dtype)
     else:
@@ -279,7 +333,7 @@ def prepare_blocks(params, cfg: DiTConfig):
 
 def ditto_forward(params, cfg: DiTConfig, x, text_emb, t, *,
                   dropout_key: Optional[jax.Array] = None,
-                  prepared_blocks=None):
+                  prepared_blocks=None, cross_kv=None):
     """Noise prediction (ref: DiTTO.py:66-94).
 
     x: [B, S, H] noisy latents; text_emb: [B, St, Xd]; t: [B] int32.
@@ -323,19 +377,30 @@ def ditto_forward(params, cfg: DiTConfig, x, text_emb, t, *,
                 if dropout_key is not None else
                 jnp.zeros((cfg.num_layers, 2), jnp.uint32))
 
-        def body(h, inp):
-            blk, bkey = inp
-            bkey = bkey if dropout_key is not None else None
-            return block_fn(blk, cfg, h, text_emb, rope_cs,
-                            dropout_key=bkey), None
+        if cross_kv is not None:
+            def body(h, inp):
+                blk, bkey, ckv = inp
+                bkey = bkey if dropout_key is not None else None
+                return block_fn(blk, cfg, h, text_emb, rope_cs,
+                                dropout_key=bkey, cross_kv=ckv), None
 
-        x, _ = jax.lax.scan(body, x, (stacked, keys))
+            x, _ = jax.lax.scan(body, x, (stacked, keys, cross_kv))
+        else:
+            def body(h, inp):
+                blk, bkey = inp
+                bkey = bkey if dropout_key is not None else None
+                return block_fn(blk, cfg, h, text_emb, rope_cs,
+                                dropout_key=bkey), None
+
+            x, _ = jax.lax.scan(body, x, (stacked, keys))
     else:
         keys = (jax.random.split(dropout_key, cfg.num_layers)
                 if dropout_key is not None else [None] * cfg.num_layers)
-        for block, bkey in zip(blocks, keys):
+        for li, (block, bkey) in enumerate(zip(blocks, keys)):
+            ckv = (None if cross_kv is None
+                   else (cross_kv[0][li], cross_kv[1][li]))
             x = block_fn(block, cfg, x, text_emb, rope_cs,
-                         dropout_key=bkey)
+                         dropout_key=bkey, cross_kv=ckv)
 
     x = dense(params["proj_out"], x.astype(x_skip.dtype))
     return x_skip + x

@@ -54,7 +54,8 @@ def _tree_stop_grad(tree):
 def build_ditto_train_step(dit_cfg: DiTConfig, codec_cfg: CodecConfig,
                            gpt2_cfg: gpt2_mod.GPT2Config, *,
                            learning_rate: float = None,
-                           weight_decay: float = 1e-6):
+                           weight_decay: float = 1e-6,
+                           encode_dtype: str = "float32"):
     lr = learning_rate if learning_rate is not None else dit_cfg.learning_rate
     tx = make_adamw(lr, weight_decay)
     schedule = NoiseSchedule.cosine(dit_cfg.diffusion_steps)
@@ -66,12 +67,26 @@ def build_ditto_train_step(dit_cfg: DiTConfig, codec_cfg: CodecConfig,
         return {"params": dit_params, "opt_state": tx.init(dit_params),
                 "step": jnp.zeros((), jnp.int32)}
 
+    enc_dt = jnp.dtype(encode_dtype)
+
     def encode_batch(frozen, batch):
-        """Frozen latent/text encode (ref TrainDiTTO.py:67-73)."""
+        """Frozen latent/text encode (ref TrainDiTTO.py:67-73).
+
+        ``encode_dtype="bfloat16"`` runs the frozen SEANet/LSTM encode
+        with bf16 operands (fp32 conv accumulation via nn/conv): the
+        encode is ~20% of the train step at B=8/S=750 and its output
+        only forms the (stop-gradient) regression targets."""
+        codec, audio = frozen["codec"], batch["audio"]
+        if enc_dt != jnp.float32:
+            codec = jax.tree_util.tree_map(
+                lambda a: a.astype(enc_dt)
+                if a.dtype == jnp.float32 else a, codec)
+            audio = audio.astype(enc_dt)
         latents, _ = nac_mod.audio_encoder(
             {"embedding_head": frozen["embedding_head"]},
-            frozen["codec"], codec_cfg, batch["audio"],
+            codec, codec_cfg, audio,
             batch.get("padding_mask"))
+        latents = latents.astype(jnp.float32)
         latents = latents[:, :, :gpt2_cfg.n_positions]
         latents = jnp.mean(latents, axis=1)                   # [B, T, H]
         t_len = latents.shape[1]

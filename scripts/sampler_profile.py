@@ -75,9 +75,16 @@ def main():
                        jnp.bfloat16)
     t = jnp.full((B,), 25, jnp.int32)
 
+    ckv = jax.jit(lambda pr, te: dit_mod.prepare_cross_kv(pr, cfg, te))(
+        prepared, temb)
+
     def fwd(p, prep, xx, te, tt):
         return dit_mod.ditto_forward(p, cfg, xx, te, tt,
                                      prepared_blocks=prep)
+
+    def fwd_ckv(p, prep, xx, te, tt):
+        return dit_mod.ditto_forward(p, cfg, xx, te, tt,
+                                     prepared_blocks=prep, cross_kv=ckv)
 
     args = (params, prepared, x, temb, t)
 
@@ -89,12 +96,15 @@ def main():
     variants = {}
     print("device:", jax.devices()[0], flush=True)
 
-    def run(name):
-        ms = slope(fwd, args)
+    def run(name, f=None):
+        ms = slope(f or fwd, args)
         variants[name] = round(ms, 3)
         print(f"{name:28s} {ms:8.3f} ms/step", flush=True)
 
     run("full")
+    # production sampler path (r5): cross-attn K/V precomputed once per
+    # sampler call instead of per step
+    run("full_precomputed_cross_kv", fwd_ckv)
 
     dit_mod.layer_norm = lambda p, v, **kw: v
     run("no_layernorm")

@@ -39,7 +39,7 @@ def _numpy_params(init_fn, key, cfg):
     return np_params(init_fn, key, cfg)
 
 
-def _setup(cfg, gpt2_cfg, batch_size, seconds):
+def _setup(cfg, gpt2_cfg, batch_size, seconds, encode_dtype="float32"):
     from ditto_tts_tpu.codec import encodec as codec_mod
     from ditto_tts_tpu.models import dit as dit_mod
     from ditto_tts_tpu.models import nac as nac_mod
@@ -54,7 +54,8 @@ def _setup(cfg, gpt2_cfg, batch_size, seconds):
             nac_mod.init_nac_trainable, key, cfg.nac)["embedding_head"],
     }
     init_state, step_fn, _ = steps_mod.build_ditto_train_step(
-        cfg.dit, cfg.codec, gpt2_cfg, learning_rate=1e-4)
+        cfg.dit, cfg.codec, gpt2_cfg, learning_rate=1e-4,
+        encode_dtype=encode_dtype)
     state = init_state(_numpy_params(dit_mod.init_ditto, key, cfg.dit))
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
@@ -73,10 +74,11 @@ def _setup(cfg, gpt2_cfg, batch_size, seconds):
     return state, frozen, batch, step_fn
 
 
-def time_train_step(cfg, gpt2_cfg, batch_size, seconds, steps_timed):
+def time_train_step(cfg, gpt2_cfg, batch_size, seconds, steps_timed,
+                    encode_dtype="float32"):
     """One leg: build step, compile, time with scalar readback."""
     state, frozen, batch, step_fn = _setup(cfg, gpt2_cfg, batch_size,
-                                           seconds)
+                                           seconds, encode_dtype)
     step = jax.jit(step_fn, donate_argnums=(0,))
     t0 = time.time()
     state, m = step(state, frozen, batch, jax.random.key(1))
@@ -250,25 +252,32 @@ def main():
     # matmul outputs; no_remat stores all residuals ([B, H, S, S] scores
     # included — may OOM at B=8/S=1024)
     variants = {
-        "remat_dots": dit_cfg(
-            remat_policy="dots_with_no_batch_dims_saveable"),
-        "remat_nothing": dit_cfg(remat_policy="nothing_saveable"),
-        "no_remat": dit_cfg(remat_blocks=False),
-        "remat_dots_no_dropout": dit_cfg(
+        "remat_dots": (dit_cfg(
+            remat_policy="dots_with_no_batch_dims_saveable"), "float32"),
+        "remat_nothing": (dit_cfg(remat_policy="nothing_saveable"),
+                          "float32"),
+        "no_remat": (dit_cfg(remat_blocks=False), "float32"),
+        "remat_dots_no_dropout": (dit_cfg(
             remat_policy="dots_with_no_batch_dims_saveable",
-            cross_attn_dropout=0.0),
+            cross_attn_dropout=0.0), "float32"),
+        # production candidate: cheap RBG dropout (models/dit.py) +
+        # bf16 frozen encode (train/steps.py encode_dtype)
+        "remat_dots_bf16enc": (dit_cfg(
+            remat_policy="dots_with_no_batch_dims_saveable"), "bfloat16"),
+        "no_remat_bf16enc": (dit_cfg(remat_blocks=False), "bfloat16"),
     }
     gpt2_cfg = gpt2_mod.GPT2Config()
 
     legs = {}
     best_name, best = None, None
-    for name, cfg in variants.items():
+    for name, (cfg, enc_dt) in variants.items():
         for seconds in (10, 14):    # S=750 and the 1024-truncation bucket
             b = args.batch
             while b >= 1:
                 try:
                     leg = time_train_step(cfg, gpt2_cfg, b, seconds,
-                                          args.steps_timed)
+                                          args.steps_timed,
+                                          encode_dtype=enc_dt)
                     legs[f"{name}_{seconds}s"] = leg
                     print(f"# {name} {seconds}s leg: {leg}",
                           file=sys.stderr, flush=True)
@@ -290,10 +299,15 @@ def main():
                     else:
                         raise
 
-    print(f"# breakdown on fastest variant: {best_name}", file=sys.stderr,
-          flush=True)
-    bd = breakdown_train_step(variants[best_name], gpt2_cfg, args.batch,
-                              10, args.steps_timed)
+    # breakdown always under the remat_dots config (no_remat OOMs the
+    # fwd+bwd stage at B=8 — the whole point of remat)
+    print(f"# fastest variant: {best_name}; breakdown under remat_dots",
+          file=sys.stderr, flush=True)
+    try:
+        bd = breakdown_train_step(variants["remat_dots"][0], gpt2_cfg,
+                                  args.batch, 10, args.steps_timed)
+    except Exception as e:  # noqa: BLE001 — record, don't lose the legs
+        bd = {"error": str(e)[:400]}
 
     out = {"device": str(jax.devices()[0]),
            "model": "DiT-base 12L/12H/768, bf16 compute, AdamW",
