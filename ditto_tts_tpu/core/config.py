@@ -129,6 +129,13 @@ class DiTConfig(_JsonMixin):
     mlp_ratio: int = 4
     diffusion_steps: int = 1000
     cross_attn_dropout: float = 0.1    # ref DiT.py:90-91
+    # where train-time cross-attn dropout applies: "output" (after the
+    # attention projection — fuses with XLA's SDPA; the torch-MHA
+    # probability-dropout path materializes [B, H, S, St] probs per
+    # layer and measured 106 ms of a 297 ms train step at B=8/S=750) |
+    # "probs" (torch nn.MultiheadAttention semantics; forced when
+    # ref_compat)
+    attn_dropout_mode: str = "output"
     max_token_length: int = 1024
     ref_compat: bool = False
     # fold the (structurally identical) block stack into one lax.scan:

@@ -203,6 +203,16 @@ def _cross_qkv(params, x, mem):
     return q, k, v
 
 
+def _rbg_dropout(key, x, rate: float):
+    """Inverted dropout with an XLA hardware-RNG keep mask."""
+    kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    kd = jnp.concatenate([kd, kd])[:4]                  # u32[4] RBG key
+    _, bits = jax.lax.rng_bit_generator(kd, x.shape, dtype=jnp.uint32)
+    thresh = jnp.uint32(min(int(rate * 2.0 ** 32), 2 ** 32 - 1))
+    return jnp.where(bits >= thresh, x * (1.0 / (1.0 - rate)),
+                     jnp.zeros((), x.dtype))
+
+
 def prepare_cross_kv(prepared_blocks, cfg: DiTConfig, text_emb):
     """Precompute every layer's cross-attention K/V from ``text_emb``.
 
@@ -275,33 +285,33 @@ def dit_block(params, cfg: DiTConfig, x, text_emb, rope_cs, *,
         q = _split_heads(q, nh)
         k = _split_heads(k, nh)
         v = _split_heads(v, nh)
-    if dropout_key is not None and cfg.cross_attn_dropout > 0.0:
-        # torch MHA drops attention probabilities; equivalent train-time
-        # regularization applied on the jnp path (Pallas path is inference).
-        # The keep-mask comes from XLA's hardware RngBitGenerator, NOT
-        # jax.random.bernoulli: threefry over [B, H, S, St] x num_layers
-        # (recomputed again under remat) measured 116 ms of a 304 ms
-        # train step at B=8/S=750 (TRAIN_BENCH r5 dropout ablation).
-        # Any iid uniform stream is valid here — this is training
-        # regularization noise, not a parity surface.
-        probs_dropout = cfg.cross_attn_dropout
+    rate = cfg.cross_attn_dropout
+    drop_mode = ("probs" if cfg.ref_compat else cfg.attn_dropout_mode)
+    if dropout_key is not None and rate > 0.0 and drop_mode == "probs":
+        # torch MHA semantics: drop attention PROBABILITIES.  This path
+        # materializes [B, H, S, St] scores/probs per layer (recomputed
+        # again under remat) and measured 106 ms of a 297 ms train step
+        # at B=8/S=750 — kept for ref_compat / opt-in; the corrected
+        # default is "output" dropout below.  The keep-mask comes from
+        # XLA's hardware RngBitGenerator (threefry bernoulli alone cost
+        # ~10 ms more); any iid uniform stream is valid here — training
+        # regularization noise is not a parity surface.
         import math as _math
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / _math.sqrt(q.shape[-1])
         p = jax.nn.softmax(scores, axis=-1)
-        kd = jax.random.key_data(dropout_key).reshape(-1).astype(jnp.uint32)
-        kd = jnp.concatenate([kd, kd])[:4]              # u32[4] RBG key
-        _, bits = jax.lax.rng_bit_generator(kd, p.shape, dtype=jnp.uint32)
-        thresh = jnp.uint32(min(int(probs_dropout * 2.0 ** 32),
-                                2 ** 32 - 1))
-        keep = bits >= thresh
-        p = jnp.where(keep, p * (1.0 / (1.0 - probs_dropout)), 0.0)
+        p = _rbg_dropout(dropout_key, p, rate)
         cross = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                            preferred_element_type=jnp.float32).astype(x.dtype)
     else:
         cross = attention(q, k, v)
     cross = dense(params["cross_attn"]["out_proj"], _merge_heads(cross))
+    if dropout_key is not None and rate > 0.0 and drop_mode == "output":
+        # corrected default: dropout on the projected attention output —
+        # same train-time regularization intent at 1/St the mask size,
+        # and the attention itself stays on the fused SDPA path
+        cross = _rbg_dropout(dropout_key, cross, rate)
     x = cross + residual
 
     # ===== gated MLP =====

@@ -93,9 +93,13 @@ def _resolve_ncl_conv_fn():
         if w.shape[0] < 8:          # conv_post (O=1): sublane-starved
             return conv1d(x, w, b, dilation=dilation,
                           compute_dtype=compute_dtype)
+        # windowed=True: single [O, K*C] x [K*C, bt] contraction
+        # (r5 slope probe: 0.844 -> 0.327 ms at C=24/k=11/bf16,
+        # 0.278 -> 0.145 at C=48 — per-tap dots pad their 24/48-deep
+        # contraction to the 128-row MXU tile)
         return conv1d_ncl_pallas(x, w, b, dilation=dilation,
                                  compute_dtype=compute_dtype,
-                                 interpret=interp)
+                                 interpret=interp, windowed=True)
     return f
 
 

@@ -292,7 +292,11 @@ def attention(q, k, v, *, causal=False, bias=None, sm_scale=None,
     above; explicit additive bias always routes to XLA.
     """
     if use_pallas is None:
-        use_pallas = on_tpu() and bias is None and k.shape[2] >= 1000
+        # head_dim cap: the packed kernel keeps [block, d]-wide K/V tiles
+        # in VMEM sized for transformer head dims; the SLP decoder's
+        # single 1472-wide head (ref Config.py:69-99) blows scoped VMEM
+        use_pallas = (on_tpu() and bias is None and k.shape[2] >= 1000
+                      and q.shape[-1] <= 128)
     if use_pallas and bias is None:
         return _pallas_attention_diff(q, k, v, causal, sm_scale)
     return sdpa_reference(q, k, v, causal=causal, bias=bias, sm_scale=sm_scale)

@@ -168,9 +168,29 @@ def _kernel_ncl(xa_ref, xb_ref, w_ref, b_ref, o_ref, acc_ref, *,
     o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _kernel_ncl_windowed(xa_ref, xb_ref, w_ref, b_ref, o_ref, zw_ref, *,
+                         k: int, dil: int, bt: int, halo: int):
+    """Windowed-contraction variant: assemble [K*C, bt] in an fp32 VMEM
+    scratch (C-aligned sublane stores compile; a vector concat of
+    lane-offset slices crashes Mosaic) and contract in ONE
+    [O, K*C] x [K*C, bt] dot — at narrow C each per-tap dot pads its
+    contraction to the 128-row MXU tile, so folding taps into the
+    contraction axis raises depth utilization ~K-fold."""
+    x = jnp.concatenate([xa_ref[0], xb_ref[0][:, :halo]], axis=1)
+    c = x.shape[0]
+    for m in range(k):
+        zw_ref[m * c:(m + 1) * c, :] = \
+            x[:, m * dil:m * dil + bt].astype(jnp.float32)
+    acc = b_ref[...] + jax.lax.dot_general(
+        w_ref[...], zw_ref[...].astype(x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 def conv1d_ncl_pallas(x, weight, bias=None, *, dilation: int = 1,
                       compute_dtype=None, block_t: int = 0,
-                      interpret: bool = False):
+                      interpret: bool = False, windowed: bool = False):
     """Time-minor twin of ``conv1d_nlc_pallas``: x [B, C, T] -> [B, O, T'].
 
     For the narrow late BigVGAN stages (C=24/48) the channels-last HBM
@@ -199,6 +219,7 @@ def conv1d_ncl_pallas(x, weight, bias=None, *, dilation: int = 1,
         from ..nn.conv import conv1d
         return conv1d(x, weight, bias, dilation=dilation,
                       compute_dtype=None)
+    windowed = windowed and c_in % 8 == 0   # fp32 sublane-tile stores
     if block_t <= 0:
         # lanes are time; per-lane-column VMEM: x 2 copies x 2 buffers +
         # concat copy (operand dtype!) + fp32 scratch/tap temp + out.
@@ -207,6 +228,8 @@ def conv1d_ncl_pallas(x, weight, bias=None, *, dilation: int = 1,
         # against the 16 MB limit.
         isz = jnp.dtype(x.dtype).itemsize
         denom = (8 * c_in + 4 * o) * isz + 8 * o
+        if windowed:
+            denom += 4 * k * c_in
         block_t = min(max((6_500_000 // denom) // 128 * 128, 256), 8192)
     bt = min(block_t, -(-t_out // 128) * 128)
     assert halo_a <= bt, (halo_a, bt)
@@ -216,24 +239,37 @@ def conv1d_ncl_pallas(x, weight, bias=None, *, dilation: int = 1,
     if need > t_in:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, need - t_in)))
 
-    w2 = jnp.transpose(weight, (2, 0, 1))               # [K, O, I]
     b_vec = (bias if bias is not None
              else jnp.zeros((o,), jnp.float32)).astype(jnp.float32)
     b_vec = b_vec.reshape(o, 1)
 
+    if windowed:
+        # [O, K*C] with column m*C + c matching the scratch's tap-major
+        # assembly
+        w2 = jnp.transpose(weight, (0, 2, 1)).reshape(o, k * c_in)
+        kernel = functools.partial(_kernel_ncl_windowed, k=k, dil=dilation,
+                                   bt=bt, halo=halo_a)
+        w_spec = pl.BlockSpec((o, k * c_in), lambda b, t: (0, 0))
+        scratch = [pltpu.VMEM((k * c_in, bt), jnp.float32)]
+    else:
+        w2 = jnp.transpose(weight, (2, 0, 1))           # [K, O, I]
+        kernel = functools.partial(_kernel_ncl, k=k, dil=dilation, bt=bt,
+                                   halo=halo_a)
+        w_spec = pl.BlockSpec((k, o, c_in), lambda b, t: (0, 0, 0))
+        scratch = [pltpu.VMEM((o, bt), jnp.float32)]
+
     out = pl.pallas_call(
-        functools.partial(_kernel_ncl, k=k, dil=dilation, bt=bt,
-                          halo=halo_a),
+        kernel,
         grid=(b_, nt),
         in_specs=[
             pl.BlockSpec((1, c_in, bt), lambda b, t: (b, 0, t)),
             pl.BlockSpec((1, c_in, bt), lambda b, t: (b, 0, t + 1)),
-            pl.BlockSpec((k, o, c_in), lambda b, t: (0, 0, 0)),
+            w_spec,
             pl.BlockSpec((o, 1), lambda b, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, o, bt), lambda b, t: (b, 0, t)),
         out_shape=jax.ShapeDtypeStruct((b_, o, nt * bt), out_dtype),
-        scratch_shapes=[pltpu.VMEM((o, bt), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x, x, w2, b_vec)
     return out[:, :, :t_out]

@@ -31,10 +31,18 @@ from . import sharding as shard_mod
 def state_specs(state: Dict, param_specs: Any) -> Dict:
     """PartitionSpec tree for a train-step state ({params, opt_state,
     step}): the given specs on params, mirrored on AdamW mu/nu,
-    everything else replicated."""
+    everything else replicated.
+
+    With the flat single-vector AdamW (train/steps.py make_adamw
+    flat=True) mu/nu are one raveled array and cannot mirror per-param
+    TP specs — they replicate instead (correct for pure DP; TP training
+    should build the step with ``flat_opt=False``)."""
     adam_state = state["opt_state"][0]
-    opt_specs = (adam_state._replace(count=P(), mu=param_specs,
-                                     nu=param_specs),) + tuple(
+    mirror = (jax.tree_util.tree_structure(adam_state.mu)
+              == jax.tree_util.tree_structure(state["params"]))
+    mu_specs = param_specs if mirror else P()
+    opt_specs = (adam_state._replace(count=P(), mu=mu_specs,
+                                     nu=mu_specs),) + tuple(
         jax.tree_util.tree_map(lambda _: P(), s)
         for s in state["opt_state"][1:])
     return {"params": param_specs, "opt_state": opt_specs, "step": P()}

@@ -37,10 +37,33 @@ from ..text import byt5 as byt5_mod
 from ..text import gpt2 as gpt2_mod
 
 
-def make_adamw(learning_rate: float, weight_decay: float = 1e-6):
-    """torch.optim.AdamW-equivalent (ref Trainer.py:69 uses defaults)."""
-    return optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+def make_adamw(learning_rate: float, weight_decay: float = 1e-6,
+               flat: bool = True):
+    """torch.optim.AdamW-equivalent (ref Trainer.py:69 uses defaults).
+
+    ``flat=True`` runs the update over ONE raveled parameter vector
+    instead of ~200 separate leaves: per-leaf application left the AdamW
+    math as hundreds of small fusions and measured 35.6 ms/step on the
+    145M-param DiT (TRAIN_BENCH r5 breakdown) vs a ~5 ms HBM bound; the
+    ravel/unravel passes are two copies of the gradient vector.  Same
+    math — WD/betas/eps apply uniformly, as torch AdamW defaults do."""
+    base = optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
                        weight_decay=weight_decay)
+    if not flat:
+        return base
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat_p, _ = ravel_pytree(params)
+        return base.init(flat_p)
+
+    def update(grads, state, params=None):
+        flat_g, unravel = ravel_pytree(grads)
+        flat_p, _ = ravel_pytree(params)
+        upd, state = base.update(flat_g, state, flat_p)
+        return unravel(upd), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def _tree_stop_grad(tree):
@@ -55,9 +78,12 @@ def build_ditto_train_step(dit_cfg: DiTConfig, codec_cfg: CodecConfig,
                            gpt2_cfg: gpt2_mod.GPT2Config, *,
                            learning_rate: float = None,
                            weight_decay: float = 1e-6,
-                           encode_dtype: str = "float32"):
+                           encode_dtype: str = "float32",
+                           flat_opt: bool = True):
     lr = learning_rate if learning_rate is not None else dit_cfg.learning_rate
-    tx = make_adamw(lr, weight_decay)
+    # flat_opt: single-vector AdamW (see make_adamw) — pass False under
+    # tensor parallelism so mu/nu mirror the param tree's TP sharding
+    tx = make_adamw(lr, weight_decay, flat=flat_opt)
     schedule = NoiseSchedule.cosine(dit_cfg.diffusion_steps)
     if dit_cfg.ref_compat and dit_cfg.prediction_type != "eps":
         raise ValueError("v/x0 prediction assumes the corrected (non-"

@@ -77,8 +77,11 @@ def main():
     train_ds = make_ds(args.train_path)
     val_ds = make_ds(args.dev_path) if args.dev_path else None
 
+    # flat single-vector AdamW except under TP, where mu/nu must mirror
+    # the param tree's model-axis sharding (train_setup.state_specs)
     init_state, step_fn, eval_fn = steps_mod.build_ditto_train_step(
-        dit_cfg, codec_cfg, gpt2_cfg, learning_rate=args.learning_rate)
+        dit_cfg, codec_cfg, gpt2_cfg, learning_rate=args.learning_rate,
+        flat_opt=args.mesh_model <= 1)
     state = init_state(dit_mod.init_ditto(keys[3], dit_cfg))
 
     # (data, model) mesh: DP-sharded batches + TP-sharded (megatron) DiT

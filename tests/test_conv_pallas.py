@@ -173,3 +173,22 @@ def test_short_sequence_falls_back_ncl():
                                        interpret=True))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ncl_windowed_matches_oracle():
+    from ditto_tts_tpu.nn.conv import conv1d
+    from ditto_tts_tpu.ops.conv_pallas import conv1d_ncl_pallas
+
+    rng = np.random.default_rng(30)
+    for b, c, o, t, k, dil in [(1, 8, 8, 300, 3, 1), (2, 16, 16, 400, 7, 3),
+                               (1, 24, 24, 520, 11, 5),
+                               (2, 32, 64, 300, 7, 1)]:
+        x = jnp.asarray(rng.standard_normal((b, c, t)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((o, c, k)), jnp.float32)
+        bv = jnp.asarray(rng.standard_normal(o), jnp.float32)
+        want = np.asarray(conv1d(x, w, bv, dilation=dil))
+        got = np.asarray(conv1d_ncl_pallas(x, w, bv, dilation=dil,
+                                           interpret=True, block_t=256,
+                                           windowed=True))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
