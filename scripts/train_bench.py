@@ -252,16 +252,17 @@ def main():
     # matmul outputs; no_remat stores all residuals ([B, H, S, S] scores
     # included — may OOM at B=8/S=1024)
     variants = {
+        # production default: output-mode dropout + flat AdamW
         "remat_dots": (dit_cfg(
             remat_policy="dots_with_no_batch_dims_saveable"), "float32"),
-        "remat_nothing": (dit_cfg(remat_policy="nothing_saveable"),
-                          "float32"),
-        "no_remat": (dit_cfg(remat_blocks=False), "float32"),
+        # torch-MHA probability dropout, for the attribution record
+        "remat_dots_probs_dropout": (dit_cfg(
+            remat_policy="dots_with_no_batch_dims_saveable",
+            attn_dropout_mode="probs"), "float32"),
         "remat_dots_no_dropout": (dit_cfg(
             remat_policy="dots_with_no_batch_dims_saveable",
             cross_attn_dropout=0.0), "float32"),
-        # production candidate: cheap RBG dropout (models/dit.py) +
-        # bf16 frozen encode (train/steps.py encode_dtype)
+        "no_remat": (dit_cfg(remat_blocks=False), "float32"),
         "remat_dots_bf16enc": (dit_cfg(
             remat_policy="dots_with_no_batch_dims_saveable"), "bfloat16"),
         "no_remat_bf16enc": (dit_cfg(remat_blocks=False), "bfloat16"),
