@@ -20,7 +20,7 @@ Two weight regimes per leg:
   refined latents at data scale; this is the leg the allclose north-star
   claim is made on.
 
-Writes PARITY_r04.json at the repo root. Run from the repo root:
+Writes PARITY_r05.json at the repo root. Run from the repo root:
 
   python scripts/parity_report.py               # trained config (5L/1H, T=50)
   python scripts/parity_report.py --small       # fast smoke (2L, T=8)

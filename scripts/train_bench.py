@@ -8,7 +8,7 @@ ref TrainDiTTO.py:70-71).  Separately measures the native C++ loader's
 sustained batches/s on this host over a synthetic WAV corpus and reports
 the host-feed margin (loader audio-s/s vs the train step's consumption).
 
-Writes TRAIN_BENCH_r04.json at the repo root.
+Writes TRAIN_BENCH_r05.json at the repo root.
 
   python scripts/train_bench.py [--batch 8] [--steps-timed 3]
 """
@@ -234,7 +234,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps-timed", type=int, default=3)
     ap.add_argument("--corpus", default="/tmp/synth_wav_corpus")
-    ap.add_argument("--out", default="TRAIN_BENCH_r04.json")
+    ap.add_argument("--out", default="TRAIN_BENCH_r05.json")
     ap.add_argument("--skip-loader", action="store_true")
     args = ap.parse_args()
 
