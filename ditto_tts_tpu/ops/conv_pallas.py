@@ -168,6 +168,104 @@ def _kernel_ncl(xa_ref, xb_ref, w_ref, b_ref, o_ref, acc_ref, *,
     o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _kernel_ncl_batched(xa_ref, xb_ref, w_ref, b_ref, o_ref, zw_ref, *,
+                        k: int, dil: int, bt: int, halo: int):
+    """Batch-in-sublane windowed kernel: refs are 2-D [B*C, ·] views of
+    the [B, C, T] array (same HBM layout) and the weight is the
+    block-diagonal [B*O, K*B*C] expansion, so the WHOLE batch advances
+    in one grid sweep with one MXU dot per block — the per-batch grid
+    at codec geometry (B=8, C=32, T=240k fp32) spent ~4.5x the HBM
+    bound on ~540 tiny grid steps."""
+    x = jnp.concatenate([xa_ref[...], xb_ref[:, :halo]], axis=1)
+    bc = x.shape[0]
+    for m in range(k):
+        zw_ref[m * bc:(m + 1) * bc, :] = \
+            x[:, m * dil:m * dil + bt].astype(jnp.float32)
+    acc = b_ref[...] + jax.lax.dot_general(
+        w_ref[...], zw_ref[...].astype(x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def conv1d_ncl_batched_pallas(x, weight, bias=None, *, dilation: int = 1,
+                              compute_dtype=None, block_t: int = 0,
+                              interpret: bool = False):
+    """x: [B, C, T] -> [B, O, T'] (VALID, stride 1), whole batch per
+    grid step.  Gated: falls back to the per-batch kernel when the
+    block-diagonal expansion would not pay (see body).
+
+    Measured OUTCOME (r5 slope probe, codec geometry B=8/C=32/T=240k
+    fp32 k=3): 3.21 ms vs 2.94 per-batch — NO win.  The per-batch grid
+    overhead hypothesis was wrong; these audio-rate convs sit ~3x over
+    the pure HBM bound in every variant (per-batch, windowed, batched),
+    i.e. they are DMA/stride-efficiency bound.  Kept (tested) as the
+    probe record; production dispatch stays on the per-batch kernel."""
+    b_, c_in, t_in = x.shape
+    o, i, k = weight.shape
+    assert i == c_in, (i, c_in)
+    bc, bo = b_ * c_in, b_ * o
+    if (b_ == 1 or bc % 8 or bo % 8 or bc > 1024 or k * bc > 4096):
+        return conv1d_ncl_pallas(x, weight, bias, dilation=dilation,
+                                 compute_dtype=compute_dtype,
+                                 block_t=block_t, interpret=interpret,
+                                 windowed=True)
+    out_dtype = x.dtype
+    if compute_dtype is None and x.dtype != weight.dtype:
+        compute_dtype = jnp.promote_types(x.dtype, weight.dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
+    t_out = t_in - (k - 1) * dilation
+    assert t_out > 0
+
+    halo = (k - 1) * dilation
+    halo_a = max(-(-halo // 128) * 128, 128)
+    if -(-t_out // 128) * 128 < halo_a:
+        from ..nn.conv import conv1d
+        return conv1d(x, weight, bias, dilation=dilation,
+                      compute_dtype=None)
+    if block_t <= 0:
+        isz = jnp.dtype(x.dtype).itemsize
+        denom = (8 * bc + 4 * bo) * isz + 4 * k * bc + 8 * bo
+        block_t = min(max((6_500_000 // denom) // 128 * 128, 128), 8192)
+    bt = min(block_t, -(-t_out // 128) * 128)
+    assert halo_a <= bt, (halo_a, bt)
+    nt = -(-t_out // bt)
+
+    need = (nt + 1) * bt
+    if need > t_in:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, need - t_in)))
+    xv = x.reshape(bc, -1)                      # same HBM layout
+
+    # block-diagonal [B*O, K*B*C]: w_bd[b*O+o, m*BC + b*C + c] = w[o,c,m]
+    eye = jnp.eye(b_, dtype=weight.dtype)
+    w_bd = jnp.einsum("bd,ocm->bomdc", eye, weight)
+    # flatten (b, o) then (m, d, c) — matching the scratch's tap-major,
+    # batch-then-channel row order
+    w_bd = w_bd.reshape(bo, k * bc)
+    b_vec = (bias if bias is not None
+             else jnp.zeros((o,), jnp.float32)).astype(jnp.float32)
+    b_vec = jnp.tile(b_vec, b_).reshape(bo, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_ncl_batched, k=k, dil=dilation, bt=bt,
+                          halo=halo_a),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((bc, bt), lambda t: (0, t)),
+            pl.BlockSpec((bc, bt), lambda t: (0, t + 1)),
+            pl.BlockSpec((bo, k * bc), lambda t: (0, 0)),
+            pl.BlockSpec((bo, 1), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bo, bt), lambda t: (0, t)),
+        out_shape=jax.ShapeDtypeStruct((bo, nt * bt), out_dtype),
+        scratch_shapes=[pltpu.VMEM((k * bc, bt), jnp.float32)],
+        interpret=interpret,
+    )(xv, xv, w_bd, b_vec)
+    return out.reshape(b_, o, nt * bt)[:, :, :t_out]
+
+
 def _kernel_ncl_windowed(xa_ref, xb_ref, w_ref, b_ref, o_ref, zw_ref, *,
                          k: int, dil: int, bt: int, halo: int):
     """Windowed-contraction variant: assemble [K*C, bt] in an fp32 VMEM

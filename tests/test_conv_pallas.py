@@ -192,3 +192,21 @@ def test_ncl_windowed_matches_oracle():
                                            windowed=True))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ncl_batched_matches_oracle():
+    from ditto_tts_tpu.nn.conv import conv1d
+    from ditto_tts_tpu.ops.conv_pallas import conv1d_ncl_batched_pallas
+
+    rng = np.random.default_rng(40)
+    for b, c, o, t, k, dil in [(4, 8, 8, 300, 3, 1), (2, 16, 8, 400, 3, 1),
+                               (8, 16, 16, 290, 3, 1),
+                               (1, 16, 16, 300, 3, 1)]:  # b=1 -> fallback
+        x = jnp.asarray(rng.standard_normal((b, c, t)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((o, c, k)), jnp.float32)
+        bv = jnp.asarray(rng.standard_normal(o), jnp.float32)
+        want = np.asarray(conv1d(x, w, bv, dilation=dil))
+        got = np.asarray(conv1d_ncl_batched_pallas(
+            x, w, bv, dilation=dil, interpret=True, block_t=256))
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
