@@ -404,11 +404,17 @@ def train_tiny_ecapa(corpus: str, steps: int, out_path: str):
 def run_eval(corpus: str, cfg_path: str, out_path: str,
              ditto_ckpt: str = None, s2t_ckpt: str = None,
              ecapa_ckpt: str = None, sample_seed: int = SEED) -> dict:
-    import evaluate as eval_mod
+    """Each leg runs in its OWN subprocess: four in-process evaluate.py
+    invocations accumulated jit caches/params until the host ran out of
+    memory on the last leg (twice, r5)."""
+    import subprocess
 
     from ditto_tts_tpu import assets
 
-    argv = ["evaluate.py", "--data-path", corpus, "--config", cfg_path,
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "evaluate.py")
+    argv = [sys.executable, script,
+            "--data-path", corpus, "--config", cfg_path,
             "--out", out_path, "--max-batches", "8", "--batch-size", "4",
             "--seed", str(SEED), "--sample-seed", str(sample_seed),
             "--oracle-ref", "--lenient-duration",
@@ -419,12 +425,9 @@ def run_eval(corpus: str, cfg_path: str, out_path: str,
             "--gpt2-config", json.dumps(TINY_GPT2)]
     if ditto_ckpt:
         argv += ["--ditto", ditto_ckpt]
-    old = sys.argv
-    try:
-        sys.argv = argv
-        eval_mod.main()
-    finally:
-        sys.argv = old
+    subprocess.run(argv, check=True,
+                   cwd=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
     with open(out_path) as f:
         return json.load(f)
 
