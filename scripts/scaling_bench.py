@@ -180,8 +180,13 @@ def main():
         artifact = {
             "measured": {
                 "note": "virtual CPU mesh (xla_force_host_platform_"
-                        "device_count) — measures GSPMD partitioning "
-                        "correctness + host-collective overhead, NOT ICI",
+                        "device_count) — validates the GSPMD-partitioned "
+                        "program executes at every mesh size, NOT ICI "
+                        "efficiency: the N virtual devices time-share the "
+                        "same physical cores, so per-chip throughput "
+                        "necessarily falls ~1/N and the efficiency "
+                        "column reflects host oversubscription, not "
+                        "communication",
                 "config": "tiny" if args.tiny else "full",
                 "rows": rows,
             },
