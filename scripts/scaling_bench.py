@@ -165,7 +165,7 @@ def main():
         # v5e one-way link bandwidth); bidirectional ring halves the
         # per-direction traffic.
         ici_axis_bytes_per_s = 2 * 4.5e10
-        step_s_real = 0.292        # TRAIN_BENCH (real chip, B=8, S=750)
+        step_s_real = 0.186        # TRAIN_BENCH_r05 (real chip, B=8, S=750)
         analytic = []
         for n in (2, 4, 8, 16, 64, 256):
             ar_bytes = 2.0 * (n - 1) / n * grad_bytes
