@@ -184,12 +184,14 @@ def _act_nlc(x, act_params, cfg: VocoderConfig, impl: str):
     if impl == "fused_pallas":
         # narrow stages pad channels to a 128 lane tile — past ~4x padding
         # waste the XLA polyphase path wins, so dispatch on width
-        if x.shape[-1] >= 96:
+        interp = _pallas_mode()
+        if x.shape[-1] >= 96 and interp is not None:
             from ..ops.snake_pallas_nlc import fused_snake_nlc
             beta = (act_params["beta"] if cfg.activation == "snakebeta"
                     else None)
             return fused_snake_nlc(x, act_params["alpha"], beta,
-                                   logscale=cfg.snake_logscale)
+                                   logscale=cfg.snake_logscale,
+                                   interpret=interp)
         impl = "polyphase"
     if impl == "polyphase_gemm":
         # the GEMM variant runs its interior in [B, C, T] (time-minor)
@@ -261,7 +263,10 @@ def _amp_block_nlc(p, cfg, x, dilations, impl, cdt, conv_fn):
     # (ops/act_conv_pallas.py) at the widths where the VMEM conv kernel
     # already wins (96-384) — x is read once per pair instead of the
     # activation costing its own HBM round trip plus XLA's materialized
-    # FIR tap intermediates
+    # FIR tap intermediates.  (An r5 probe routed C=384 to the SEPARATE
+    # act kernel + conv kernel — 1.32 + 0.41 vs 2.27 ms/pair in
+    # isolation — but the full bench measured it 12 ms SLOWER e2e, so
+    # the fused dispatch stays through 384.)
     interp = _pallas_mode()
     fuse = (impl == "fused_conv" and cfg.use_anti_aliasing
             and 96 <= x.shape[-1] <= 384 and interp is not None)
