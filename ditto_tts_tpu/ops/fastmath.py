@@ -7,9 +7,12 @@ Mosaic lowers ``jnp.sin`` through a full-range reduction that measured
 reduction plus a short odd polynomial reproduces it to ~1e-8 absolute at
 a tenth of the instruction count.
 
-Accuracy: |sin2_fast(x) - sin^2(x)| <= 2e-8 for |x| <~ 1e3 (beyond that
-the fp32 ulp of x itself dominates both this and the exact lowering).
-The strict-parity oracle paths (ops/snake.py) keep ``jnp.sin``.
+Accuracy (measured, tests/test_fastmath.py): the polynomial is a true
+minimax fit (|sin err| < 3.4e-9 in f64); evaluated in fp32 the arithmetic
+noise dominates and |sin2(x) - sin^2(x_fp32)| <= ~5e-7 for |x| <~ 1e3
+(beyond that the fp32 ulp of x itself dominates both this and the exact
+lowering).  The strict-parity oracle paths (ops/snake.py) keep
+``jnp.sin``.
 """
 
 from __future__ import annotations
@@ -22,12 +25,14 @@ _INV_PI = 0.3183098861837907
 _PI_HI = 3.140625
 _PI_LO = 0.0009676535897932384
 # sin(f), f in [-pi/2, pi/2]: f * (c0 + c1 f^2 + c2 f^4 + c3 f^6 + c4 f^8)
-# (near-minimax LSQ fit on Chebyshev nodes; |sin err| < 7e-9)
-_C0 = 0.9999999995715839
-_C1 = -0.16666665862674132
-_C2 = 0.008333306954527278
-_C3 = -0.00019839087092794334
-_C4 = 2.6048671985059352e-06
+# (iteratively-reweighted minimax fit on Chebyshev nodes; |sin err| <
+# 3.4e-9 in f64 — r5 refit: the original coefficients equioscillated on
+# a narrower interval and leaked ~5e-6 near |f| = pi/2)
+_C0 = 0.999999977
+_C1 = -0.166666476
+_C2 = 0.00833289979
+_C3 = -0.000198008956
+_C4 = 2.59048416e-06
 
 
 def sin2(x):

@@ -33,7 +33,8 @@ def test_nlc_fused_matches_oracle_interior(shape):
                                      block_t=256))
     assert got.shape == want.shape
     # atol floor 3e-5: the kernel's pi-periodic fast sin^2
-    # (ops/fastmath.py) carries ~1e-5 absolute fp32 reduction noise
+    # (ops/fastmath.py) carries ~5e-7 fp32 arithmetic noise, scaled by
+    # 1/beta, plus interpret-mode accumulation-order deltas
     np.testing.assert_allclose(got[:, 4:-4], want[:, 4:-4],
                                rtol=1e-4, atol=3e-5)
     np.testing.assert_allclose(got, want, rtol=0.3, atol=0.05)
