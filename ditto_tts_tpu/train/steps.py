@@ -101,7 +101,21 @@ def build_ditto_train_step(dit_cfg: DiTConfig, codec_cfg: CodecConfig,
         ``encode_dtype="bfloat16"`` runs the frozen SEANet/LSTM encode
         with bf16 operands (fp32 conv accumulation via nn/conv): the
         encode is ~20% of the train step at B=8/S=750 and its output
-        only forms the (stop-gradient) regression targets."""
+        only forms the (stop-gradient) regression targets.
+
+        If the batch already carries ``"latents"`` ([B, T, H] channel-
+        meaned, from data/latents.py's one-shot precompute) the audio
+        encode is skipped entirely — the latents are a FROZEN function
+        of the audio, so recomputing them every epoch (~45 ms of a
+        186 ms step at B=8/S=750, TRAIN_BENCH_r05) buys nothing the
+        second time an utterance is seen."""
+        if "latents" in batch:
+            latents = batch["latents"].astype(jnp.float32)
+            latents = latents[:, :gpt2_cfg.n_positions]
+            text_ids = batch["text_ids"][:, :latents.shape[1]]
+            text_emb = gpt2_mod.embed_tokens(frozen["gpt2"], text_ids)
+            return jax.lax.stop_gradient(latents), \
+                jax.lax.stop_gradient(text_emb)
         codec, audio = frozen["codec"], batch["audio"]
         if enc_dt != jnp.float32:
             codec = jax.tree_util.tree_map(

@@ -39,6 +39,11 @@ def main():
                         "(5 layers, 1 head, ref-compat quirks)")
     p.add_argument("--layers", type=int, default=12)
     p.add_argument("--heads", type=int, default=12)
+    p.add_argument("--latent-cache", default=None, metavar="DIR",
+                   help="precompute the frozen EnCodec latents once into "
+                        "DIR and train from the cache (skips the ~25%% of "
+                        "the step the frozen encode costs; see "
+                        "data/latents.py)")
     args = p.parse_args()
 
     # scan+remat: one compiled block body, per-block recompute in backward
@@ -77,6 +82,23 @@ def main():
     train_ds = make_ds(args.train_path)
     val_ds = make_ds(args.dev_path) if args.dev_path else None
 
+    # one-shot frozen-latent precompute (host-side frozen params, before
+    # the mesh shards them); each process caches its own dataset shard
+    lat_dirs = {}
+    if args.latent_cache:
+        import os as _os
+        from ditto_tts_tpu.data import latents as lat_mod
+        for name, ds in (("train", train_ds), ("val", val_ds)):
+            if ds is None:
+                continue
+            d = _os.path.join(
+                args.latent_cache,
+                f"{name}_shard{jax.process_index()}of{jax.process_count()}")
+            lat_mod.precompute(ds, frozen, codec_cfg, cache_dir=d,
+                               batch_size=batch_size, buckets=buckets,
+                               progress=True)
+            lat_dirs[id(ds)] = d
+
     # flat single-vector AdamW except under TP, where mu/nu must mirror
     # the param tree's model-axis sharding (train_setup.state_specs)
     init_state, step_fn, eval_fn = steps_mod.build_ditto_train_step(
@@ -89,6 +111,11 @@ def main():
         args, state, frozen, "train_ditto")
 
     def batch_iter(ds, shuffle, seed=None):
+        if id(ds) in lat_dirs:
+            from ditto_tts_tpu.data import latents as lat_mod
+            return wrap(lambda: lat_mod.latent_batches(
+                lat_dirs[id(ds)], ds, batch_size, shuffle=shuffle,
+                seed=seed if seed is not None else 0))
         return wrap(lambda: batches(ds, batch_size, buckets=buckets,
                                     shuffle=shuffle, seed=seed))
 
