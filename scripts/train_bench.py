@@ -39,7 +39,8 @@ def _numpy_params(init_fn, key, cfg):
     return np_params(init_fn, key, cfg)
 
 
-def _setup(cfg, gpt2_cfg, batch_size, seconds, encode_dtype="float32"):
+def _setup(cfg, gpt2_cfg, batch_size, seconds, encode_dtype="float32",
+           latent_input=False):
     from ditto_tts_tpu.codec import encodec as codec_mod
     from ditto_tts_tpu.models import dit as dit_mod
     from ditto_tts_tpu.models import nac as nac_mod
@@ -63,22 +64,37 @@ def _setup(cfg, gpt2_cfg, batch_size, seconds, encode_dtype="float32"):
 
     length = int(24000 * seconds)
     rng = np.random.default_rng(1)
-    batch = {
-        "audio": jnp.asarray(0.05 * rng.standard_normal(
-            (batch_size, 1, length)).astype(np.float32)),
-        "padding_mask": jnp.ones((batch_size, length), jnp.int32),
-        "text_ids": jnp.asarray(rng.integers(
-            0, gpt2_cfg.vocab_size, (batch_size, 1024)).astype(np.int32)),
-    }
+    if latent_input:
+        # cached-latent training (data/latents.py): the frozen encode ran
+        # once offline; the step consumes [B, T, H] latents directly
+        t_lat = length // cfg.codec.hop_length
+        batch = {
+            "latents": jnp.asarray(rng.standard_normal(
+                (batch_size, t_lat, cfg.dit.hidden_dim))
+                .astype(np.float32)),
+            "text_ids": jnp.asarray(rng.integers(
+                0, gpt2_cfg.vocab_size,
+                (batch_size, 1024)).astype(np.int32)),
+        }
+    else:
+        batch = {
+            "audio": jnp.asarray(0.05 * rng.standard_normal(
+                (batch_size, 1, length)).astype(np.float32)),
+            "padding_mask": jnp.ones((batch_size, length), jnp.int32),
+            "text_ids": jnp.asarray(rng.integers(
+                0, gpt2_cfg.vocab_size,
+                (batch_size, 1024)).astype(np.int32)),
+        }
     batch = jax.device_put(batch, dev)
     return state, frozen, batch, step_fn
 
 
 def time_train_step(cfg, gpt2_cfg, batch_size, seconds, steps_timed,
-                    encode_dtype="float32"):
+                    encode_dtype="float32", latent_input=False):
     """One leg: build step, compile, time with scalar readback."""
     state, frozen, batch, step_fn = _setup(cfg, gpt2_cfg, batch_size,
-                                           seconds, encode_dtype)
+                                           seconds, encode_dtype,
+                                           latent_input)
     step = jax.jit(step_fn, donate_argnums=(0,))
     t0 = time.time()
     state, m = step(state, frozen, batch, jax.random.key(1))
@@ -236,6 +252,12 @@ def main():
     ap.add_argument("--corpus", default="/tmp/synth_wav_corpus")
     ap.add_argument("--out", default="TRAIN_BENCH_r05.json")
     ap.add_argument("--skip-loader", action="store_true")
+    ap.add_argument("--skip-breakdown", action="store_true")
+    ap.add_argument("--variants", default=None,
+                    help="comma list: run only these variants")
+    ap.add_argument("--merge", action="store_true",
+                    help="update legs inside an existing --out file "
+                         "instead of overwriting it")
     args = ap.parse_args()
 
     from ditto_tts_tpu.core.config import DiTConfig, PipelineConfig
@@ -267,24 +289,41 @@ def main():
             remat_policy="dots_with_no_batch_dims_saveable"), "bfloat16"),
         "no_remat_bf16enc": (dit_cfg(remat_blocks=False), "bfloat16"),
     }
+    # cached-latent training (data/latents.py precompute + --latent-cache):
+    # the frozen encode is gone from the step entirely
+    latent_variants = {
+        "cached_latents": dit_cfg(
+            remat_policy="dots_with_no_batch_dims_saveable"),
+        "cached_latents_no_remat": dit_cfg(remat_blocks=False),
+    }
+    if args.variants:
+        wanted = set(args.variants.split(","))
+        variants = {k: v for k, v in variants.items() if k in wanted}
+        latent_variants = {k: v for k, v in latent_variants.items()
+                           if k in wanted}
     gpt2_cfg = gpt2_mod.GPT2Config()
 
     legs = {}
     best_name, best = None, None
-    for name, (cfg, enc_dt) in variants.items():
+    runs = [(name, cfg, enc_dt, False)
+            for name, (cfg, enc_dt) in variants.items()]
+    runs += [(name, cfg, "float32", True)
+             for name, cfg in latent_variants.items()]
+    for name, cfg, enc_dt, lat_in in runs:
         for seconds in (10, 14):    # S=750 and the 1024-truncation bucket
             b = args.batch
             while b >= 1:
                 try:
                     leg = time_train_step(cfg, gpt2_cfg, b, seconds,
                                           args.steps_timed,
-                                          encode_dtype=enc_dt)
+                                          encode_dtype=enc_dt,
+                                          latent_input=lat_in)
                     legs[f"{name}_{seconds}s"] = leg
                     print(f"# {name} {seconds}s leg: {leg}",
                           file=sys.stderr, flush=True)
-                    if seconds == 10 and (best is None
-                                          or leg["step_seconds"]
-                                          < best["step_seconds"]):
+                    if seconds == 10 and not lat_in and (
+                            best is None or leg["step_seconds"]
+                            < best["step_seconds"]):
                         best_name, best = name, leg
                     break
                 except Exception as e:
@@ -300,21 +339,23 @@ def main():
                     else:
                         raise
 
-    # breakdown always under the remat_dots config (no_remat OOMs the
-    # fwd+bwd stage at B=8 — the whole point of remat)
-    print(f"# fastest variant: {best_name}; breakdown under remat_dots",
-          file=sys.stderr, flush=True)
-    try:
-        bd = breakdown_train_step(variants["remat_dots"][0], gpt2_cfg,
-                                  args.batch, 10, args.steps_timed)
-    except Exception as e:  # noqa: BLE001 — record, don't lose the legs
-        bd = {"error": str(e)[:400]}
-
     out = {"device": str(jax.devices()[0]),
            "model": "DiT-base 12L/12H/768, bf16 compute, AdamW",
-           "train_step_legs": legs,
-           "fastest_variant": best_name,
-           "stage_breakdown_ms": bd}
+           "train_step_legs": legs}
+    if best_name is not None:
+        out["fastest_variant"] = best_name
+
+    # breakdown always under the remat_dots config (no_remat OOMs the
+    # fwd+bwd stage at B=8 — the whole point of remat)
+    if not args.skip_breakdown and "remat_dots" in variants:
+        print(f"# fastest variant: {best_name}; breakdown under remat_dots",
+              file=sys.stderr, flush=True)
+        try:
+            bd = breakdown_train_step(variants["remat_dots"][0], gpt2_cfg,
+                                      args.batch, 10, args.steps_timed)
+        except Exception as e:  # noqa: BLE001 — record, don't lose the legs
+            bd = {"error": str(e)[:400]}
+        out["stage_breakdown_ms"] = bd
 
     if not args.skip_loader:
         if not os.path.isdir(args.corpus):
@@ -339,6 +380,13 @@ def main():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, args.out)
+    if args.merge and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        prev["train_step_legs"].update(out.pop("train_step_legs"))
+        out.pop("device", None), out.pop("model", None)
+        prev.update(out)
+        out = prev
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
