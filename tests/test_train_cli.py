@@ -76,3 +76,23 @@ def test_mesh_cli_train_nac_and_slp(tmp_path):
                 "--batch-size", "8", "--nb-samples", "8", "--epochs", "1"])
     assert "mesh {'data': 2, 'model': 4}" in out, out[-2000:]
     assert os.path.exists(os.path.join(slp_dir, "SLP_final.npz"))
+
+
+def test_mesh_cli_train_latent_cache(tmp_path):
+    """--latent-cache: one-shot frozen-encode precompute (data/latents.py),
+    then training from cached latent batches through the real CLI on the
+    (data=4, model=2) mesh."""
+    corpus = _corpus(tmp_path, n=8)
+    ckpt_dir = str(tmp_path / "ckpt")
+    cache_dir = str(tmp_path / "latcache")
+    out = _run(["--train-path", corpus, "--checkpoint-dir", ckpt_dir,
+                "--latent-cache", cache_dir,
+                "--mesh-data", "4", "--mesh-model", "2",
+                "--layers", "1", "--heads", "12",
+                "--batch-size", "8", "--nb-samples", "8", "--epochs", "1"])
+    assert "mesh {'data': 4, 'model': 2}" in out, out[-2000:]
+    assert os.path.exists(os.path.join(ckpt_dir, "DiTTO_final.npz"))
+    # the cache landed on disk: index + one bucket memmap per duration
+    shard = os.path.join(cache_dir, "train_shard0of1")
+    assert os.path.exists(os.path.join(shard, "index.json"))
+    assert any(f.startswith("bucket_") for f in os.listdir(shard))
