@@ -88,16 +88,15 @@ def precompute(dataset: MLSDataset, frozen, codec_cfg: CodecConfig, *,
                    else default_buckets(dataset.sample_rate))
     encode = make_encode_fn(codec_cfg, encode_dtype)
 
-    # pass 1: decode lengths, group indices by bucket
+    # pass 1: decode for lengths only (audio is NOT kept — a large corpus
+    # would not fit in host RAM; pass 2 re-decodes per chunk, a one-time
+    # cost that the per-epoch savings repay immediately)
     by_bucket: Dict[int, list] = {}
     seconds = [0.0] * len(dataset)
-    audio_of = {}
     for i in range(len(dataset)):
-        item = dataset[i]
-        wav = item["audio"]
-        seconds[i] = len(wav) / dataset.sample_rate
-        by_bucket.setdefault(bucket_for(len(wav), buckets), []).append(i)
-        audio_of[i] = wav
+        n = len(dataset[i]["audio"])
+        seconds[i] = n / dataset.sample_rate
+        by_bucket.setdefault(bucket_for(n, buckets), []).append(i)
 
     rows = {}
     for blen, idxs in sorted(by_bucket.items()):
@@ -107,7 +106,7 @@ def precompute(dataset: MLSDataset, frozen, codec_cfg: CodecConfig, *,
             audio = np.zeros((len(chunk), 1, blen), np.float32)
             mask = np.zeros((len(chunk), blen), np.int32)
             for r, di in enumerate(chunk):
-                wav = audio_of[di]
+                wav = dataset[di]["audio"]
                 audio[r, 0, :len(wav)] = wav
                 mask[r, :len(wav)] = 1
             lat = np.asarray(encode(frozen, jnp.asarray(audio),
