@@ -255,6 +255,10 @@ def main():
     ap.add_argument("--skip-breakdown", action="store_true")
     ap.add_argument("--variants", default=None,
                     help="comma list: run only these variants")
+    ap.add_argument("--leg-suffix", default="",
+                    help="append to every leg key (e.g. '_b16' when "
+                         "re-running a variant at a non-default batch "
+                         "with --merge)")
     ap.add_argument("--merge", action="store_true",
                     help="update legs inside an existing --out file "
                          "instead of overwriting it")
@@ -318,7 +322,7 @@ def main():
                                           args.steps_timed,
                                           encode_dtype=enc_dt,
                                           latent_input=lat_in)
-                    legs[f"{name}_{seconds}s"] = leg
+                    legs[f"{name}_{seconds}s{args.leg_suffix}"] = leg
                     print(f"# {name} {seconds}s leg: {leg}",
                           file=sys.stderr, flush=True)
                     if seconds == 10 and not lat_in and (
@@ -334,7 +338,8 @@ def main():
                               f"retrying B={b//2}", file=sys.stderr)
                         b //= 2
                     elif oom:
-                        legs[f"{name}_{seconds}s"] = {"oom": True}
+                        legs[f"{name}_{seconds}s{args.leg_suffix}"] = \
+                            {"oom": True}
                         break
                     else:
                         raise
